@@ -1,0 +1,161 @@
+"""Query-time scoring: TF-IDF x PageRank (reference-identical) and BM25.
+
+Replaces the reference ranker (/root/reference
+src/cis5550/ranker/Ranker.java, RankerStarter.java) with one declarative
+DataFrame plan per query: broadcast the (tiny) query-term side into the
+postings join, aggregate per url, left-join pageranks, sort.
+
+Reference semantics pinned (rank-identity invariants):
+- query expansion (Ranker.java:140-159): whitespace tokenize; for each
+  token, append the Porter stem *plus* the raw token unless the stem
+  equals the token case-insensitively; distinct on the *raw* strings;
+  lookups lowercase (Ranker.java:45). Case-distinct raw forms that
+  lowercase to the same term each score separately (reproduced: we keep
+  one term row per distinct raw form).
+- per-term scoring (Ranker.java:78-112): tf = positions/l2Norm, dedupe
+  distinct (url, tf) pairs, df = count of those, IDF = ln(N/df),
+  tfidf = tf*IDF summed per url across terms; pagerank defaults to 0.15
+  for unranked docs; final score = sum(tfidf) * pagerank.
+- the reference returns the full ranked list (no k cutoff); ties are
+  ordered arbitrarily there — we fix (score desc, url asc), which is
+  rank-compatible.
+
+BM25 is the scale-path scorer the rebuild adds (north-star): standard
+Robertson/Sparck-Jones idf = ln((N-df+0.5)/(df+0.5)+1), k1=1.2, b=0.75,
+dl = per-doc term-entry count from doc_stats.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .kernels.hasher import kvs_hash
+from .kernels.porter import porter_stem
+
+
+def expand_query(query: str) -> list:
+    """Raw-distinct expanded terms (stem + raw), per Ranker.java:140-159."""
+    out: dict = {}
+    for token in query.split():
+        stem = porter_stem(token)
+        if stem.lower() != token.lower():
+            out.setdefault(stem, True)
+        out.setdefault(token, True)
+    return list(out)
+
+
+def score_tfidf(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    pageranks: DataFrame | None,
+    total_documents: int,
+) -> DataFrame:
+    """Reference-identical TF-IDF x PageRank ranking for ``query``.
+
+    ``postings``: flat POSTINGS_SCHEMA table. ``pageranks``:
+    (doc_id, rank) or None. Returns (url, tfidf, pagerank, score)
+    ordered by (score desc, url asc) — the full list, as the reference
+    serializes every url (RankerStarter.java:87-94).
+    """
+    words = expand_query(query)
+    if not words:
+        return spark.createDataFrame(
+            [], "url string, tfidf double, pagerank double, score double"
+        )
+    # one row per distinct RAW form; lookup key is the lowercase term.
+    terms = spark.createDataFrame(
+        [(i, w.lower()) for i, w in enumerate(words)], "term_idx int, term string"
+    )
+
+    matched = postings.join(F.broadcast(terms), "term").select(
+        "term_idx",
+        "doc_id",
+        "url",
+        (F.col("tf") / F.col("l2_norm")).alias("tf_norm"),
+    )
+    # distinct (url, tf) per term instance (Ranker.java:91 .distinct()).
+    d = matched.distinct()
+    dfc = d.groupBy("term_idx").agg(F.count(F.lit(1)).alias("df"))
+    scored = d.join(F.broadcast(dfc), "term_idx").select(
+        "doc_id",
+        "url",
+        (
+            F.col("tf_norm")
+            * F.log(F.lit(float(total_documents)) / F.col("df"))
+        ).alias("tfidf"),
+    )
+    per_url = scored.groupBy("doc_id", "url").agg(F.sum("tfidf").alias("tfidf"))
+    if pageranks is not None:
+        per_url = per_url.join(pageranks, "doc_id", "left")
+    else:
+        per_url = per_url.withColumn("rank", F.lit(None).cast("double"))
+    return (
+        per_url.select(
+            "url",
+            "tfidf",
+            F.coalesce(F.col("rank"), F.lit(0.15)).alias("pagerank"),
+        )
+        .withColumn("score", F.col("tfidf") * F.col("pagerank"))
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def score_bm25(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    total_documents: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+    use_stems: bool = True,
+) -> DataFrame:
+    """BM25 top-k scoring; returns (url, score) ordered desc.
+
+    dl = per-document term-entry count (sum tf over the doc's terms,
+    raw+stem — consistent between index and query side); df counted on
+    distinct docs per term. Query expansion mirrors expand_query but
+    dedupes on the lowercase form (BM25 is our own scorer; no reference
+    quirk to preserve).
+    """
+    words = {w.lower() for w in (expand_query(query) if use_stems else query.split())}
+    if not words:
+        return spark.createDataFrame([], "url string, score double")
+    terms = spark.createDataFrame([(w,) for w in sorted(words)], "term string")
+
+    avgdl_row = doc_stats.agg(F.avg("n_term_entries").alias("avgdl")).collect()[0]
+    avgdl = float(avgdl_row["avgdl"] or 1.0)
+
+    matched = postings.join(F.broadcast(terms), "term").select(
+        "term", "doc_id", "url", "tf"
+    )
+    dfc = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = float(total_documents)
+    scored = (
+        matched.join(F.broadcast(dfc), "term")
+        .join(doc_stats.select("doc_id", "n_term_entries"), "doc_id")
+        .select(
+            "doc_id",
+            "url",
+            (
+                F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1 - b + b * F.col("n_term_entries") / F.lit(avgdl))
+                )
+            ).alias("partial"),
+        )
+    )
+    return (
+        scored.groupBy("url")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+    )
+
+
+def hash_url(url: str) -> str:
+    """Query-side Hasher.hash (Ranker.java:100)."""
+    return kvs_hash(url)
