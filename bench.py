@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "index_docs_per_sec": ..., "bm25_p50_ms": ..., "bm25_p95_ms": ...}
+
+Headliners: the inverted-index build (docs/sec — the north-star
+throughput metric), BM25/TF-IDF query latency over the built index,
+and the analytics suite (TPC-H joins/aggs, dedup, cosine similarity).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from google_like_search_engine_spark.session import get_spark
+from google_like_search_engine_spark import catalog as c
+from google_like_search_engine_spark import catalog_text as t
+from google_like_search_engine_spark.indexer import build_postings, build_posting_lists
+from google_like_search_engine_spark.ranker import score_bm25
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = {
+    "tpch_q1": c.tpch_q1,
+    "tpch_q3": c.tpch_q3,
+    "tpch_q5": c.tpch_q5,
+    "events_sessions": c.events_sessions,
+    "wordcount": t.wordcount,
+    "tfidf_search": t.tfidf_search,
+    "bm25_search": t.bm25_search,
+    "dedup_minhash": t.dedup_minhash,
+    "cosine_scores": t.cosine_scores,
+}
+
+
+def timed(fn):
+    start = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - start, out
+
+
+def main():
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    results = {}
+    for name, fn in BENCH_QUERIES.items():
+        # warm the input cache path once (parquet footer reads etc.)
+        dt, _ = timed(lambda: fn(spark, SF_DIR).collect())
+        results[name] = round(dt, 3)
+
+    # --- index build throughput (docs/sec) over the documents table ---
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("doc_id").cast("string").alias("url"),
+            "text",
+        )
+    )
+    n_docs = docs.count()
+    dt_build, _ = timed(
+        lambda: build_posting_lists(build_postings(docs), salt_buckets=8)
+        .write.mode("overwrite").parquet("/tmp/bench_postings")
+    )
+    results["index_build"] = round(dt_build, 3)
+    docs_per_sec = n_docs / dt_build if dt_build else 0.0
+
+    # --- BM25 query latency over the built flat postings ---
+    postings = build_postings(docs).cache()
+    postings.count()
+    doc_stats = (
+        postings.groupBy("doc_id", "url")
+        .agg(F.sum("tf").alias("n_term_entries"))
+        .cache()
+    )
+    doc_stats.count()
+    qset = [
+        "spark shuffle", "index merge", "window stream", "table scan",
+        "hash join", "sort order", "query batch", "row value part",
+        "fast slow", "key agg",
+    ]
+    lat = []
+    for q in qset:
+        dt, _ = timed(
+            lambda q=q: score_bm25(spark, q, postings, doc_stats, n_docs)
+            .limit(10).collect()
+        )
+        lat.append(dt * 1000)
+    postings.unpersist()
+    doc_stats.unpersist()
+
+    total = round(sum(results.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": sf,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+                "index_docs_per_sec": round(docs_per_sec, 1),
+                "bm25_p50_ms": round(statistics.median(lat), 1),
+                "bm25_p95_ms": round(
+                    sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 1
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,358 @@
+"""Query catalog: named queries over the driver's test tables + DuckDB oracles.
+
+Each entry maps a name to (a) a Spark callable ``(spark, sf_dir) ->
+DataFrame`` and (b) an equivalent ANSI-SQL string DuckDB runs over the
+same parquet (views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names and value rounding
+are aligned so the driver's order-insensitive value-hash matches.
+
+Rounding policy (FP determinism across engines): sums of 2-decimal
+inputs are exact multiples of 0.01 -> round to 3; products of two
+2-decimal inputs are multiples of 1e-4 -> round to 4; transcendental
+outputs (ln/cos) -> round to 4 where row counts are large. Averages are
+avoided in oracle-checked outputs (engine-specific half-rounding on
+doubles can flip the last digit); sums + counts are returned instead.
+
+The flame_* entries exercise the reference's Flame operator inventory
+(SURVEY.md section 2.1) through the operators module; tpch_*, events_*
+and the text/search entries (catalog_text.py) cover the analytics
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import flame
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Flame operator inventory (SURVEY.md section 2.1) on the TPC-H-ish tables
+# --------------------------------------------------------------------------
+
+def flame_count(spark, sf_dir):
+    """FlameRDD.count (flame/FlameRDDImpl.java:51-53)."""
+    li = load(spark, sf_dir, "lineitem")
+    return flame.fold(li, F.count(F.lit(1)).alias("cnt"))
+
+
+FLAME_COUNT_SQL = "SELECT count(*) AS cnt FROM lineitem"
+
+
+def flame_distinct(spark, sf_dir):
+    """FlameRDD.distinct (flame/Worker.java:507-537)."""
+    li = load(spark, sf_dir, "lineitem")
+    return flame.distinct(li.select("l_returnflag", "l_linestatus"))
+
+
+FLAME_DISTINCT_SQL = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def flame_filter(spark, sf_dir):
+    """FlameRDD.filter (flame/Worker.java:635-667)."""
+    o = load(spark, sf_dir, "orders")
+    return o.where(F.col("o_totalprice") > 150000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+
+
+FLAME_FILTER_SQL = (
+    "SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 150000"
+)
+
+
+def flame_fold_sum(spark, sf_dir):
+    """FlameRDD.fold = sum (flame/Worker.java:595-633; HW7Test.java:687-713)."""
+    li = load(spark, sf_dir, "lineitem")
+    return flame.fold(li, F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+
+
+FLAME_FOLD_SUM_SQL = "SELECT round(sum(l_quantity), 2) AS total_qty FROM lineitem"
+
+
+def flame_foldbykey(spark, sf_dir):
+    """FlamePairRDD.foldByKey = per-key sum (flame/Worker.java:232-266)."""
+    ev = load(spark, sf_dir, "events")
+    pairs = flame.map_to_pair(ev, F.col("event_type"), F.col("value"))
+    return flame.fold_by_key(pairs, F.round(F.sum("v"), 3).alias("total"))
+
+
+FLAME_FOLDBYKEY_SQL = (
+    "SELECT event_type AS k, round(sum(value), 3) AS total FROM events GROUP BY event_type"
+)
+
+
+def flame_sample(spark, sf_dir):
+    """FlameRDD.sample (flame/Worker.java:322-361) — made deterministic
+    via an md5-bucket predicate so the oracle selects identical rows
+    (the reference's Math.random() sample is only count-checked ±10%;
+    determinism is a strengthening)."""
+    o = load(spark, sf_dir, "orders")
+    return o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) <= "6"
+    ).select("o_orderkey", "o_totalprice")
+
+
+FLAME_SAMPLE_SQL = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) <= '6'"
+)
+
+
+def flame_groupby(spark, sf_dir):
+    """FlameRDD.groupBy (flame/Worker.java:363-437): (k, comma-joined
+    values), values sorted for determinism."""
+    n = load(spark, sf_dir, "nation")
+    rdd = n.select(F.col("n_name").alias("value"), "n_regionkey")
+    return (
+        rdd.groupBy(F.col("n_regionkey").cast("string").alias("k"))
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("value"))).alias("v"))
+    )
+
+
+FLAME_GROUPBY_SQL = (
+    "SELECT CAST(n_regionkey AS VARCHAR) AS k, "
+    "string_agg(n_name, ',' ORDER BY n_name) AS v FROM nation GROUP BY n_regionkey"
+)
+
+
+def flame_intersection(spark, sf_dir):
+    """FlameRDD.intersection (flame/Worker.java:268-320)."""
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    p = load(spark, sf_dir, "part").where(F.col("p_size") > 25).select(
+        F.col("p_partkey").alias("key")
+    )
+    return flame.intersection(li, p)
+
+
+FLAME_INTERSECTION_SQL = (
+    "SELECT l_partkey AS key FROM lineitem "
+    "INTERSECT SELECT p_partkey AS key FROM part WHERE p_size > 25"
+)
+
+
+def flame_join(spark, sf_dir):
+    """FlamePairRDD.join (flame/Worker.java:539-593): inner equi-join,
+    value = vA + ',' + vB, per-key cross product."""
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    a = flame.map_to_pair(s, F.col("s_nationkey").cast("string"), F.col("s_name"))
+    b = flame.map_to_pair(c, F.col("c_nationkey").cast("string"), F.col("c_name"))
+    return flame.join_pairs(a, b)
+
+
+FLAME_JOIN_SQL = (
+    "SELECT CAST(s_nationkey AS VARCHAR) AS k, s_name || ',' || c_name AS v "
+    "FROM supplier JOIN customer ON s_nationkey = c_nationkey"
+)
+
+
+def flame_cogroup(spark, sf_dir):
+    """FlamePairRDD.cogroup (flame/Worker.java:710-807): full-outer
+    (k, '[v1,..],[w1,..]')."""
+    s = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 5000)
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+    a = flame.map_to_pair(s, F.col("s_nationkey").cast("string"), F.col("s_name"))
+    b = flame.map_to_pair(c, F.col("c_nationkey").cast("string"), F.col("c_name"))
+    return flame.cogroup(a, b)
+
+
+FLAME_COGROUP_SQL = """
+WITH a AS (
+  SELECT CAST(s_nationkey AS VARCHAR) AS k,
+         string_agg(s_name, ',' ORDER BY s_name) AS va
+  FROM supplier WHERE s_acctbal > 5000 GROUP BY 1
+), b AS (
+  SELECT CAST(c_nationkey AS VARCHAR) AS k,
+         string_agg(c_name, ',' ORDER BY c_name) AS vb
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+)
+SELECT coalesce(a.k, b.k) AS k,
+       '[' || coalesce(va, '') || '],[' || coalesce(vb, '') || ']' AS v
+FROM a FULL OUTER JOIN b ON a.k = b.k
+"""
+
+
+def flame_take(spark, sf_dir):
+    """FlameRDD.take (FlameRDDImpl.java:78-95) — made deterministic with
+    an explicit order (the reference allows any subset)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(5)
+    )
+
+
+FLAME_TAKE_SQL = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"
+)
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style analytics (join/agg coverage + bench headliners)
+# --------------------------------------------------------------------------
+
+def tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1997-03-15")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1997-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def tpch_q5(spark, sf_dir):
+    """Local-supplier volume: 6-table join; small dims broadcast."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: windowed aggregation + sessionization (batch forms; the
+# streaming module runs the same logic incrementally)
+# --------------------------------------------------------------------------
+
+def events_hourly(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_sessions(spark, sf_dir):
+    """Sessionize per user on a 30-minute inactivity gap; count sessions
+    and events per user (lag + cumulative sum of session starts)."""
+    ev = load(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_flag = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return with_flag.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+EVENTS_SESSIONS_SQL = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM flagged GROUP BY user_id
+"""

@@ -1,0 +1,468 @@
+"""Text / search / dedup / similarity queries over documents + embeddings.
+
+These are the training-data-pipeline operators (dedup, ANN, quality,
+language-ID) plus SQL-expressible versions of the search-engine scoring
+(TF-IDF, BM25) so the driver's DuckDB oracle can verify the relational
+scoring logic end-to-end. (Stemming/hashing/positions semantics are
+verified separately by the golden pipeline tests — SQL can't stem.)
+
+Tokenization here is the plain shared dialect both engines express
+identically: split on single space, drop empty tokens.
+
+Oracle-checked outputs never use LIMIT on float-ordered rows (boundary
+ties could select different rows per engine) — they return the full
+scored set with rounded values; top-k trimming is a bench-side concern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load
+
+QUERY_TERMS = ["spark", "shuffle", "join", "window", "stream"]
+STOP_TERMS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, w) exploded non-empty tokens."""
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+
+
+_TOKENS_CTE = """
+tokens AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+)
+"""
+
+
+def wordcount(spark, sf_dir):
+    """The canonical Flame wordcount (reference FlameWordCount.java:15-28):
+    flatMap -> mapToPair -> foldByKey == explode + groupBy count."""
+    docs = load(spark, sf_dir, "documents")
+    return _tokens(docs).groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+WORDCOUNT_SQL = f"WITH {_TOKENS_CTE} SELECT w, count(*) AS cnt FROM tokens GROUP BY w"
+
+
+def token_stats(spark, sf_dir):
+    """Per-doc token count via mapInPandas (the FlameRDD.mapPartitions
+    path, flame/Worker.java:669-708) — checks the Arrow-batch transform
+    against a pure-SQL oracle."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def count_tokens(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["text"].map(lambda t: len(t.split(" "))),
+                }
+            )
+
+    return docs.mapInPandas(count_tokens, schema="doc_id long, n_tokens long")
+
+
+TOKEN_STATS_SQL = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+)
+
+
+def term_stats(spark, sf_dir):
+    """Per-term document frequency + idf over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    return (
+        _tokens(docs)
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "w",
+            "df",
+            F.round(F.log(F.lit(float(n)) / F.col("df")), 4).alias("idf"),
+        )
+    )
+
+
+TERM_STATS_SQL = f"""
+WITH {_TOKENS_CTE}
+SELECT w, count(DISTINCT doc_id) AS df,
+       round(ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / count(DISTINCT doc_id)), 4) AS idf
+FROM tokens GROUP BY w
+"""
+
+
+def _terms_lit():
+    return ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+def tfidf_search(spark, sf_dir):
+    """Reference scoring shape (Ranker.java:78-112) in pure relational
+    form: tf_norm = tf / doc L2 norm, idf = ln(N/df), score = sum per doc.
+    Full scored set, no limit (rank-stability across engines)."""
+    docs = load(spark, sf_dir, "documents")
+    n = float(docs.count())
+    tf = _tokens(docs).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    l2 = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("l2")
+    )
+    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
+    dfc = (
+        tf.join(F.broadcast(terms), "w")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        tf.join(F.broadcast(terms), "w")
+        .join(F.broadcast(dfc), "w")
+        .join(l2, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum((F.col("tf") / F.col("l2")) * F.log(F.lit(n) / F.col("df"))), 4
+            ).alias("score")
+        )
+    )
+
+
+TFIDF_SEARCH_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w),
+l2 AS (SELECT doc_id, sqrt(sum(CAST(tf AS DOUBLE) * tf)) AS l2 FROM tf GROUP BY doc_id),
+dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf WHERE w IN ({_terms_lit()}) GROUP BY w)
+SELECT tf.doc_id,
+       round(sum((tf / l2.l2) * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfc.df)), 4) AS score
+FROM tf JOIN dfc USING (w) JOIN l2 ON tf.doc_id = l2.doc_id
+GROUP BY tf.doc_id
+"""
+
+
+def bm25_search(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
+    """BM25 with Robertson idf over the documents table; full scored set."""
+    docs = load(spark, sf_dir, "documents")
+    n = float(docs.count())
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
+    dfc = (
+        tf.join(F.broadcast(terms), "w")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        tf.join(F.broadcast(terms), "w")
+        .join(F.broadcast(dfc), "w")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+
+
+BM25_SEARCH_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf WHERE w IN ({_terms_lit()}) GROUP BY w)
+SELECT tf.doc_id,
+       round(sum(
+         ln((n.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+         * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       ), 4) AS score
+FROM tf JOIN dfc USING (w) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+GROUP BY tf.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Deduplication suite
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy full text; emit duplicate groups."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.encode("text", "utf-8")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("canonical"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS canonical
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE w <> ''
+),
+shingles AS (
+  SELECT DISTINCT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS sh
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+)
+"""
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    """Distinct 3-word shingles per doc: (doc_id, sh). Token positions
+    are re-numbered over non-empty tokens (matches the oracle CTE)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w"))
+        .where(F.col("w") != "")
+    )
+    from pyspark.sql import Window as W
+
+    toks = toks.withColumn(
+        "pos", F.row_number().over(W.partitionBy("doc_id").orderBy("pos0"))
+    ).select("doc_id", "pos", "w")
+    t1, t2, t3 = toks.alias("t1"), toks.alias("t2"), toks.alias("t3")
+    return (
+        t1.join(t2, (F.col("t2.doc_id") == F.col("t1.doc_id")) & (F.col("t2.pos") == F.col("t1.pos") + 1))
+        .join(t3, (F.col("t3.doc_id") == F.col("t1.doc_id")) & (F.col("t3.pos") == F.col("t1.pos") + 2))
+        .select(
+            F.col("t1.doc_id").alias("doc_id"),
+            F.concat_ws(" ", "t1.w", "t2.w", "t3.w").alias("sh"),
+        )
+        .distinct()
+    )
+
+
+def dedup_minhash(spark, sf_dir):
+    """MinHash + LSH banding: 8 md5-seeded min-hashes over 3-word
+    shingles, 4 bands x 2 rows; candidate pairs = docs sharing a band.
+    Deterministic (md5), so the oracle selects identical candidates."""
+    sh = _shingles(spark, sf_dir)
+    aggs = [
+        F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("sh")), "utf-8"))).alias(f"m{i}")
+        for i in range(8)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    bands = None
+    for b in range(4):
+        band = sig.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("bkey"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a, bb = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || sh)) AS m0, min(md5('1:' || sh)) AS m1,
+         min(md5('2:' || sh)) AS m2, min(md5('3:' || sh)) AS m3,
+         min(md5('4:' || sh)) AS m4, min(md5('5:' || sh)) AS m5,
+         min(md5('6:' || sh)) AS m6, min(md5('7:' || sh)) AS m7
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, m0 || m1 AS bkey FROM sig UNION ALL
+  SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
+  SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
+  SELECT doc_id, 3, m6 || m7 FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+def ngram_jaccard(spark, sf_dir, min_shared: int = 2):
+    """n-gram Jaccard near-dup: doc pairs sharing >= min_shared 3-word
+    shingles, with exact Jaccard similarity."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("sza") + F.col("szb") - F.col("shared")), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 4) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def quality_scores(spark, sf_dir):
+    """Per-doc quality facets: token counts, type-token ratio, stopword
+    ratio (ratios of identical ints -> identical doubles both engines)."""
+    docs = load(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
+    toks = _tokens(docs)
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("w").alias("n_distinct"),
+        F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")).cast("long").alias("n_stop"),
+        F.round(F.countDistinct("w") / F.count(F.lit(1)), 4).alias("ttr"),
+        F.round(
+            F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1)), 4
+        ).alias("stop_ratio"),
+    )
+
+
+QUALITY_SCORES_SQL = f"""
+WITH {_TOKENS_CTE}
+SELECT doc_id,
+       count(*) AS n_tokens,
+       count(DISTINCT w) AS n_distinct,
+       CAST(sum(CASE WHEN w IN ({", ".join(f"'{t}'" for t in STOP_TERMS)}) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       round(CAST(count(DISTINCT w) AS DOUBLE) / count(*), 4) AS ttr,
+       round(CAST(sum(CASE WHEN w IN ({", ".join(f"'{t}'" for t in STOP_TERMS)}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS stop_ratio
+FROM tokens GROUP BY doc_id
+"""
+
+
+def lang_id(spark, sf_dir):
+    """Heuristic language ID: English function-word hit ratio vs the
+    labeled lang column (accuracy check is downstream; here we emit the
+    prediction features deterministically)."""
+    docs = load(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
+    toks = _tokens(docs)
+    feats = toks.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1)), 4
+        ).alias("en_ratio")
+    )
+    return feats.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "en_ratio", (F.col("en_ratio") > 0.05).alias("pred_en")
+    )
+
+
+LANG_ID_SQL = f"""
+WITH {_TOKENS_CTE},
+feats AS (
+  SELECT doc_id,
+         round(CAST(sum(CASE WHEN w IN ({", ".join(f"'{t}'" for t in STOP_TERMS)}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS en_ratio
+  FROM tokens GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, f.en_ratio, f.en_ratio > 0.05 AS pred_en
+FROM feats f JOIN documents d ON d.doc_id = f.doc_id
+"""
+
+
+def fingerprints(spark, sf_dir):
+    """Deterministic document fingerprint: md5 of the first 64 chars."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(F.substring("text", 1, 64), "utf-8")).alias("fp"),
+    )
+
+
+FINGERPRINTS_SQL = "SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents"
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+
+def cosine_scores(spark, sf_dir):
+    """Brute-force cosine of every vector vs the vec_id=0 query vector
+    (JVM-side: zip_with + aggregate; no Python in the hot path).
+    Full scored set, rounded — the ANN top-k trim happens benchside."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    q = F.array(*[F.lit(float(x)) for x in qv])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    qn = float(sum(float(x) * float(x) for x in qv) ** 0.5)
+    return emb.select(
+        "vec_id", F.round(dot / (nrm * F.lit(qn)), 4).alias("cos_sim")
+    )
+
+
+COSINE_SCORES_SQL = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+uq AS (SELECT CAST(unnest(qe) AS DOUBLE) AS qx,
+              generate_subscripts(qe, 1) AS pos FROM q)
+SELECT u.vec_id,
+       round(sum(x * qx) / (sqrt(sum(x * x)) * sqrt(sum(qx * qx))), 4) AS cos_sim
+FROM u JOIN uq USING (pos)
+GROUP BY u.vec_id
+"""

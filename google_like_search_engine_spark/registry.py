@@ -1,0 +1,98 @@
+"""Registry wiring query names -> (spark callable, oracle SQL).
+
+Consumed by __spark_entry__.py (the driver contract) and bench.py.
+Entries without an oracle (iterative / non-SQL-expressible ops) are in
+NO_ORACLE_QUERIES and get the driver's weaker rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import catalog as c
+from . import catalog_text as t
+
+QUERIES = {
+    # Flame operator inventory (SURVEY.md section 2.1)
+    "flame_count": (c.flame_count, c.FLAME_COUNT_SQL),
+    "flame_distinct": (c.flame_distinct, c.FLAME_DISTINCT_SQL),
+    "flame_filter": (c.flame_filter, c.FLAME_FILTER_SQL),
+    "flame_fold_sum": (c.flame_fold_sum, c.FLAME_FOLD_SUM_SQL),
+    "flame_foldbykey": (c.flame_foldbykey, c.FLAME_FOLDBYKEY_SQL),
+    "flame_sample": (c.flame_sample, c.FLAME_SAMPLE_SQL),
+    "flame_groupby": (c.flame_groupby, c.FLAME_GROUPBY_SQL),
+    "flame_intersection": (c.flame_intersection, c.FLAME_INTERSECTION_SQL),
+    "flame_join": (c.flame_join, c.FLAME_JOIN_SQL),
+    "flame_cogroup": (c.flame_cogroup, c.FLAME_COGROUP_SQL),
+    "flame_take": (c.flame_take, c.FLAME_TAKE_SQL),
+    # TPC-H-style analytics
+    "tpch_q1": (c.tpch_q1, c.TPCH_Q1_SQL),
+    "tpch_q3": (c.tpch_q3, c.TPCH_Q3_SQL),
+    "tpch_q5": (c.tpch_q5, c.TPCH_Q5_SQL),
+    # events
+    "events_hourly": (c.events_hourly, c.EVENTS_HOURLY_SQL),
+    "events_sessions": (c.events_sessions, c.EVENTS_SESSIONS_SQL),
+    # text / search
+    "wordcount": (t.wordcount, t.WORDCOUNT_SQL),
+    "token_stats": (t.token_stats, t.TOKEN_STATS_SQL),
+    "term_stats": (t.term_stats, t.TERM_STATS_SQL),
+    "tfidf_search": (t.tfidf_search, t.TFIDF_SEARCH_SQL),
+    "bm25_search": (t.bm25_search, t.BM25_SEARCH_SQL),
+    # dedup
+    "dedup_exact": (t.dedup_exact, t.DEDUP_EXACT_SQL),
+    "dedup_minhash": (t.dedup_minhash, t.DEDUP_MINHASH_SQL),
+    "ngram_jaccard": (t.ngram_jaccard, t.NGRAM_JACCARD_SQL),
+    # text analysis
+    "quality_scores": (t.quality_scores, t.QUALITY_SCORES_SQL),
+    "lang_id": (t.lang_id, t.LANG_ID_SQL),
+    "fingerprints": (t.fingerprints, t.FINGERPRINTS_SQL),
+    # embeddings
+    "cosine_scores": (t.cosine_scores, t.COSINE_SCORES_SQL),
+}
+
+
+def _pagerank_docs(spark, sf_dir):
+    """Iterative PageRank over a deterministic synthetic doc graph
+    (edges i -> (2i+7) mod N and i -> (3i+11) mod N). Non-SQL-expressible
+    (driver loop); correctness is pinned by the HW9 golden test instead."""
+    from .pagerank import pagerank
+
+    docs = c.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    n = docs.count()
+    ids = c.load(spark, sf_dir, "documents").select(F.col("doc_id").alias("i"))
+    edges = ids.select(
+        F.col("i").cast("string").alias("src"),
+        ((F.col("i") * 2 + 7) % n).cast("string").alias("dst"),
+    ).unionAll(
+        ids.select(
+            F.col("i").cast("string").alias("src"),
+            ((F.col("i") * 3 + 11) % n).cast("string").alias("dst"),
+        )
+    ).where(F.col("src") != F.col("dst")).distinct()
+    ranks = pagerank(docs, edges, threshold=1e-4, max_iterations=50)
+    return ranks.select("doc_id", F.round("rank", 4).alias("rank"))
+
+
+def _search_pipeline(spark, sf_dir):
+    """Flagship: full reference pipeline on the synthetic web corpus —
+    generate pages, build the inverted index, run PageRank over the
+    extracted link graph, score a query TF-IDF x PageRank."""
+    from .corpus import generate_pages
+    from .indexer import build_index
+    from .pagerank import pagerank_from_pages
+    from .ranker import score_tfidf
+
+    pages = generate_pages(spark, 300).where(F.col("lang") == "en").cache()
+    postings, _ = build_index(pages)
+    total = pages.count()
+    ranks = pagerank_from_pages(pages, threshold=0.01, max_iterations=20)
+    res = score_tfidf(spark, "search engine index", postings, ranks, total)
+    return res.select("url", F.round("score", 6).alias("score")).limit(20)
+
+
+NO_ORACLE_QUERIES = {
+    "pagerank_docs": _pagerank_docs,
+    "search_pipeline": _search_pipeline,
+}

@@ -1,0 +1,75 @@
+"""Local mirror of the driver's correctness gate: every registry query
+runs on Spark AND its DuckDB oracle over the same parquet; row counts,
+column names, and order-insensitive values must match exactly.
+"""
+
+import math
+
+import duckdb
+import pytest
+
+from google_like_search_engine_spark.registry import NO_ORACLE_QUERIES, QUERIES
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # rounded upstream; normalize -0.0 and int-valued floats
+        return round(v, 9) + 0.0
+    return v
+
+
+def _row_key(row, cols_order):
+    return tuple(_norm(row[i]) for i in cols_order)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, sf_dir, name):
+    fn, sql = QUERIES[name]
+    sdf = fn(spark, sf_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    srows = sdf.collect()
+
+    con = _duck(sf_dir)
+    ores = con.execute(sql)
+    duck_cols = [d[0].lower() for d in ores.description]
+    orows = ores.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns {spark_cols} vs {duck_cols}"
+    )
+    assert len(srows) == len(orows), f"{name}: rows {len(srows)} vs {len(orows)}"
+
+    s_order = [spark_cols.index(c) for c in sorted(spark_cols)]
+    d_order = [duck_cols.index(c) for c in sorted(duck_cols)]
+    s_vals = sorted(
+        (_row_key(tuple(r), s_order) for r in srows), key=lambda x: str(x)
+    )
+    d_vals = sorted(
+        (_row_key(tuple(r), d_order) for r in orows), key=lambda x: str(x)
+    )
+    mism = [(a, b) for a, b in zip(s_vals, d_vals) if a != b]
+    assert not mism, f"{name}: {len(mism)} value mismatches, first 3: {mism[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(NO_ORACLE_QUERIES))
+def test_no_oracle_queries_run(spark, sf_dir, name):
+    df = NO_ORACLE_QUERIES[name](spark, sf_dir)
+    rows = df.collect()
+    assert rows is not None
+    assert len(df.columns) > 0
