@@ -1,0 +1,218 @@
+"""Deduplication operators over a (id, text) DataFrame.
+
+Library forms of the dedup suite (catalog_text.py holds the
+oracle-checked SQL-parallel variants). All hashing is deterministic
+(md5 / xxhash64-free of JVM seeds), so results are reproducible across
+cluster sizes and retries — a requirement for resumable 100 TB builds.
+
+Scale design:
+- exact dedup: one hash-groupBy, AQE-skew-safe.
+- MinHash+LSH: signatures via one Arrow-batched pandas UDF pass
+  (partition-local), then a band-key exchange; candidate verification
+  joins only within buckets, never all-pairs.
+- SimHash: 64-bit signature per doc in the same UDF pass; near-dup
+  candidates via 4x16-bit band buckets (Hamming distance <= 3 guarantee
+  by pigeonhole over 4 bands), verified by exact Hamming popcount.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, canonical)."""
+    return (
+        df.groupBy(F.md5(F.encode(text_col, "utf-8")).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min(id_col).alias("canonical"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _md5_64(s: str) -> int:
+    return struct.unpack("<Q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+
+def _shingles(text: str, k: int) -> set:
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < k:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>) — one partition-local Arrow pass."""
+
+    def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingles(text or "", shingle_k)
+                if not sh:
+                    sig = [0] * num_hashes
+                else:
+                    sig = [
+                        min(_md5_64(f"{seed}:{s}") for s in sh) & 0x7FFFFFFFFFFFFFFF
+                        for seed in range(num_hashes)
+                    ]
+                ids.append(i)
+                out.append(sig)
+            yield pd.DataFrame({"id": ids, "sig": out})
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        sigs, schema=f"id long, sig array<long>"
+    )
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs from banded signatures: (id_a, id_b)."""
+    n = bands
+    sig = signatures
+    rows_per = F.size("sig") / n
+    band_frames = []
+    for b in range(n):
+        band_frames.append(
+            sig.select(
+                "id",
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("sig"),
+                            (rows_per * b + 1).cast("int"),
+                            rows_per.cast("int"),
+                        ).cast("array<string>"),
+                    ).cast("binary")
+                ).alias("bkey"),
+            )
+        )
+    all_bands = band_frames[0]
+    for bf in band_frames[1:]:
+        all_bands = all_bands.unionAll(bf)
+    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs verified by exact shingle Jaccard:
+    (id_a, id_b, jaccard). LSH prunes the pair space; verification
+    recomputes true Jaccard only for candidates."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
+    cands = minhash_lsh_pairs(sigs, bands)
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    pa = cands.join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
+    both = pa.join(texts.withColumnsRenamed({"id": "id_b", "text": "text_b"}), "id_b")
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ia, ib, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]
+            ):
+                sa, sb = _shingles(ta or "", shingle_k), _shingles(tb or "", shingle_k)
+                union = len(sa | sb)
+                j = (len(sa & sb) / union) if union else 1.0
+                rows.append((ia, ib, j))
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    out = both.mapInPandas(verify, schema="id_a long, id_b long, jaccard double")
+    return out.where(F.col("jaccard") >= jaccard_threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per doc: (id, simhash long). Weighted by tf."""
+
+    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, out = [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                acc = [0] * 64
+                toks = [t for t in (text or "").split(" ") if t]
+                tf: dict = {}
+                for tkn in toks:
+                    tf[tkn] = tf.get(tkn, 0) + 1
+                for tkn, w in tf.items():
+                    h = _md5_64(tkn)
+                    for bit in range(64):
+                        acc[bit] += w if (h >> bit) & 1 else -w
+                sig = 0
+                for bit in range(64):
+                    if acc[bit] > 0:
+                        sig |= 1 << bit
+                ids.append(i)
+                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({"id": ids, "simhash": out})
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        sim, schema="id long, simhash long"
+    )
+
+
+def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= max_hamming.
+
+    Bucket by each of 4 16-bit bands (pigeonhole: any pair within
+    Hamming 3 of a 64-bit signature agrees exactly on >= 1 band), join
+    within buckets, verify with popcount — never all-pairs."""
+    bands = None
+    for b in range(4):
+        band = signatures.select(
+            "id",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+        )
+        bands = band if bands is None else bands.unionAll(band)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select(
+        "id_a", "id_b", hamming.cast("int").alias("hamming")
+    ).where(F.col("hamming") <= max_hamming)

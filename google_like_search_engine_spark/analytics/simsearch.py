@@ -1,0 +1,193 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  JVM-side math (zip_with + aggregate), no Python in the hot path.
+- ``lsh_topk``: random-hyperplane LSH bucketing as the scale path —
+  probes only matching buckets (with multi-probe via reduced-bit keys),
+  then exact rescoring inside buckets. Deterministic hyperplanes
+  (seeded), so builds are reproducible/resumable.
+- ``ivf_topk``: IVF-style coarse quantizer — k-means-lite centroids
+  (seeded sample, one Lloyd step in the driver over a small sample),
+  assignment via broadcast centroid join, probe nearest ``nprobe``
+  lists. Exact math inside probed lists.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(col, lit_arr):
+    return F.aggregate(
+        F.zip_with(col, lit_arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(col):
+    return F.sqrt(
+        F.aggregate(
+            col, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def _lit_vec(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (id, cos_sim) desc."""
+    q = _lit_vec(query_vec)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    return (
+        emb.select(
+            F.col(id_col),
+            (_dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplanes(dim: int, bits: int = 16, seed: int = 42) -> list:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
+
+
+def add_lsh_key(
+    emb: DataFrame,
+    planes: list,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_key",
+) -> DataFrame:
+    """Random-hyperplane signature as an int key (sign bit per plane).
+    At scale, write the table bucketed by this key so probes are
+    partition-pruned scans."""
+    key = F.lit(0)
+    for i, p in enumerate(planes):
+        bit = (_dot(F.col(vec_col), _lit_vec(p)) > 0).cast("int")
+        key = key + F.shiftleft(bit, i)
+    return emb.withColumn(out_col, key.cast("long"))
+
+
+def lsh_topk(
+    emb_with_key: DataFrame,
+    query_vec,
+    planes: list,
+    k: int = 10,
+    probe_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: scan only buckets agreeing with the query on the low
+    ``probe_bits`` bits (multi-probe recall knob), exact cosine inside.
+
+    Recall/efficiency tradeoff is explicit: probe_bits=0 degenerates to
+    brute force; probe_bits=len(planes) probes a single bucket."""
+    qkey = 0
+    for i, p in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, p))
+        if dot > 0:
+            qkey |= 1 << i
+    mask = (1 << probe_bits) - 1
+    cand = emb_with_key.where(
+        (F.col("lsh_key").bitwiseAND(F.lit(mask))) == (qkey & mask)
+    )
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample_fraction: float = 0.1,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    lloyd_iters: int = 2,
+) -> list:
+    """Tiny driver-side k-means over a seeded sample (IVF coarse
+    quantizer). The sample is bounded; assignment of the full table is
+    distributed (see add_ivf_key)."""
+    sample = [
+        [float(x) for x in r[0]]
+        for r in emb.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()
+    ]
+    if not sample:
+        return []
+    rng = random.Random(seed)
+    cents = [list(v) for v in rng.sample(sample, min(n_centroids, len(sample)))]
+    for _ in range(lloyd_iters):
+        sums = [[0.0] * len(cents[0]) for _ in cents]
+        counts = [0] * len(cents)
+        for v in sample:
+            best, bd = 0, float("inf")
+            for ci, c in enumerate(cents):
+                d = sum((a - b) ** 2 for a, b in zip(v, c))
+                if d < bd:
+                    best, bd = ci, d
+            counts[best] += 1
+            s = sums[best]
+            for j, a in enumerate(v):
+                s[j] += a
+        cents = [
+            [s / c for s in sums[i]] if (c := counts[i]) else cents[i]
+            for i in range(len(cents))
+        ]
+    return cents
+
+
+def add_ivf_key(emb: DataFrame, centroids: list, vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids,
+    JVM-side distance): adds ``ivf_key`` int."""
+    best_key = None
+    best_dist = None
+    for ci, c in enumerate(centroids):
+        dist = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                _lit_vec(c),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_key is None:
+            best_key, best_dist = F.lit(ci), dist
+        else:
+            cond = dist < best_dist
+            best_key = F.when(cond, F.lit(ci)).otherwise(best_key)
+            best_dist = F.when(cond, dist).otherwise(best_dist)
+    return emb.withColumn("ivf_key", best_key.cast("int"))
+
+
+def ivf_topk(
+    emb_with_ivf: DataFrame,
+    query_vec,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the nprobe nearest centroid lists, exact cosine inside."""
+    dists = sorted(
+        range(len(centroids)),
+        key=lambda ci: sum(
+            (float(a) - float(b)) ** 2 for a, b in zip(query_vec, centroids[ci])
+        ),
+    )
+    probe = dists[:nprobe]
+    cand = emb_with_ivf.where(F.col("ivf_key").isin(probe))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

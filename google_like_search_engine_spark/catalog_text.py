@@ -425,6 +425,25 @@ def fingerprints(spark, sf_dir):
 FINGERPRINTS_SQL = "SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents"
 
 
+def bpe_tokens(spark, sf_dir):
+    """Whitespace + BPE-ish regex token counts per doc (Arrow-batched
+    pandas UDF; oracle = equivalent RE2 extraction in DuckDB)."""
+    from .analytics.text import bpe_token_counts
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return bpe_token_counts(docs).withColumnRenamed("id", "doc_id")
+
+
+BPE_TOKENS_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+')) AS BIGINT) AS bpe_tokens
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Embedding similarity search
 # --------------------------------------------------------------------------

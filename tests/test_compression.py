@@ -1,0 +1,83 @@
+"""Round-trip + property tests for the posting-block codec."""
+
+import random
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from google_like_search_engine_spark.compression import (
+    assign_doc_indexes,
+    block_postings,
+    decode_block,
+    encode_block,
+    unblock_postings,
+    varint_decode,
+    varint_encode,
+)
+from google_like_search_engine_spark.indexer import build_postings
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_varint_roundtrip(values):
+    buf = bytearray()
+    varint_encode(values, buf)
+    out, pos = varint_decode(bytes(buf), 0, len(values))
+    assert out == values and pos == len(buf)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),
+            st.lists(st.integers(min_value=1, max_value=10000), min_size=1, max_size=20),
+        ),
+        min_size=1,
+        max_size=64,
+    ),
+    st.integers(min_value=0, max_value=1000),
+)
+@settings(max_examples=100, deadline=None)
+def test_block_roundtrip(entries, base):
+    rng = random.Random(7)
+    doc_idxs = sorted(rng.sample(range(base, base + 10**6), len(entries)))
+    tfs = [e[0] for e in entries]
+    plists = [sorted(set(e[1])) for e in entries]
+    blob = encode_block(doc_idxs, tfs, plists, base)
+    d, t, p = decode_block(blob, base)
+    assert d == doc_idxs and t == tfs and p == plists
+
+
+def test_block_postings_spark_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [
+            (f"doc{i}", f"http://x.com/{i}.html", "apples bananas " * (1 + i % 5))
+            for i in range(40)
+        ],
+        "doc_id string, url string, text string",
+    )
+    postings = build_postings(docs)
+    idx = assign_doc_indexes(postings)
+    pidx = postings.join(idx, "doc_id")
+    blocks = block_postings(pidx, block_size=16)
+    back = unblock_postings(blocks)
+
+    orig = {
+        (r["term"], r["doc_index"]): (r["tf"], list(r["positions"]))
+        for r in pidx.select("term", "doc_index", "tf", "positions").collect()
+    }
+    got = {
+        (r["term"], r["doc_index"]): (r["tf"], list(r["positions"]))
+        for r in back.collect()
+    }
+    assert got == orig
+
+    # block invariants: bounded size, max metadata correct
+    for b in blocks.collect():
+        assert b["n_docs"] <= 16
+        assert b["base"] <= b["max_doc_index"]
+
+    # compression actually compresses vs raw int arrays
+    raw_bytes = sum(4 + 4 + 4 * len(v[1]) for v in orig.values())
+    packed = sum(len(bytes(b["block"])) for b in blocks.collect())
+    assert packed < raw_bytes
