@@ -91,4 +91,7 @@ def test_wholestage_codegen_in_aggregation(spark, sf_dir):
     df = c.tpch_q1(spark, sf_dir)
     df.collect()  # AQE: codegen spans appear only in the final plan
     plan = _plan(df)
-    assert "WholeStageCodegen" in plan, plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in the plan string;
+    # both the partial and final aggregates must be inside codegen.
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan, plan
+    assert "partial_sum" in plan, plan  # map-side combine present
