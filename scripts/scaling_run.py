@@ -1,15 +1,16 @@
 #!/usr/bin/env python
 """Two-parallelism scaling evidence for the north rule.
 
-Runs the SAME index-build job on the SAME input at local[N] and
-local[4N] (separate JVMs) and reports throughput at both plus scaling
-efficiency = T(4N) / (4 x T(N)) ... measured as
-  eff = (docs_per_sec at 4N) / (4 x docs_per_sec at N)
+Runs the SAME full index-build job (clean text -> tokenize+stem ->
+posting lists, i.e. the real kernels) on the SAME pre-generated
+synthetic web corpus at local[N] and local[4N] in separate JVMs, and
+reports throughput at both plus scaling efficiency
+  eff = docs_per_sec(4N) / (4 x docs_per_sec(N)).
 Writes BENCH/BASELINE.md. The sandbox has no multi-node cluster; two
 local parallelism levels on identical input are the driver-sanctioned
 proxy for the N -> 4N executor scaling criterion.
 
-Usage: python scripts/scaling_run.py [n_low] [sf_dir]
+Usage: python scripts/scaling_run.py [n_low=8] [n_pages=40000]
 """
 
 from __future__ import annotations
@@ -22,21 +23,31 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+GEN = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from google_like_search_engine_spark.session import get_spark
+from google_like_search_engine_spark.corpus import write_pages
+n = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark("gen", cores=32, shuffle_partitions=32)
+write_pages(spark, n, path, partitions=64)
+spark.stop()
+"""
+
 WORKER = r"""
-import json, os, sys, time
+import json, sys, time
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from google_like_search_engine_spark.session import get_spark
-from google_like_search_engine_spark.indexer import build_postings, build_posting_lists
+from google_like_search_engine_spark.indexer import (
+    build_posting_lists, build_postings, docs_from_pages)
 
-cores = int(sys.argv[1]); sf_dir = sys.argv[2]
+cores = int(sys.argv[1]); path = sys.argv[2]
 spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
-docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(F.col("doc_id").cast("string").alias("doc_id"),
-                F.col("doc_id").cast("string").alias("url"), "text")
-        .repartition(cores * 2).cache())
-n = docs.count()  # materialize input once so the timed run is compute-only
+pages = spark.read.parquet(path)
+n = pages.count()  # warm parquet footers; timed run is compute-only
 t0 = time.perf_counter()
+docs = docs_from_pages(pages)
 (build_posting_lists(build_postings(docs), salt_buckets=8)
  .write.mode("overwrite").parquet(f"/tmp/scaling_postings_{cores}"))
 dt = time.perf_counter() - t0
@@ -46,25 +57,29 @@ spark.stop()
 """
 
 
-def run_at(cores: int, sf_dir: str) -> dict:
+def run_py(code: str, *args) -> str:
     out = subprocess.run(
-        [sys.executable, "-c", WORKER % {"repo": REPO}, str(cores), sf_dir],
+        [sys.executable, "-c", code % {"repo": REPO}, *map(str, args)],
         capture_output=True, text=True, check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
 
 
 def main():
     n_low = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
-    )
-    lo = run_at(n_low, sf_dir)
-    hi = run_at(n_low * 4, sf_dir)
+    n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
+    corpus = f"/tmp/scaling_corpus_{n_pages}.parquet"
+    if not os.path.isdir(corpus):
+        print(f"generating {n_pages}-page corpus at {corpus} ...", file=sys.stderr)
+        run_py(GEN, n_pages, corpus)
+
+    lo = json.loads(run_py(WORKER, n_low, corpus))
+    hi = json.loads(run_py(WORKER, n_low * 4, corpus))
     eff = hi["docs_per_sec"] / (4 * lo["docs_per_sec"])
     report = {
         "low": lo, "high": hi, "scaling_efficiency": round(eff, 3),
-        "sf_dir": sf_dir, "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "corpus": corpus,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(report))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -73,8 +88,11 @@ def main():
 
 ## Scaling evidence (north-rule two-cluster-size criterion, sandbox proxy)
 
-Same inverted-index build job, same input ({sf_dir}/documents.parquet,
-{lo['n_docs']} docs), two parallelism levels in separate JVMs:
+Same full inverted-index build (page filter -> doc-ID hash ->
+tokenize + Porter stem + positions + L2 norm -> salted term-sharded
+posting-list merge -> parquet write), same pre-generated synthetic
+Common-Crawl-style corpus ({lo['n_docs']} pages), two parallelism
+levels in separate JVMs:
 
 | parallelism | wall-clock (s) | throughput (docs/sec) |
 |---|---|---|
@@ -82,20 +100,20 @@ Same inverted-index build job, same input ({sf_dir}/documents.parquet,
 | local[{hi['cores']}] | {hi['sec']:.2f} | {hi['docs_per_sec']:.1f} |
 
 **Scaling efficiency local[{lo['cores']}] -> local[{hi['cores']}]:
-{eff:.3f}** (target >= 0.8 from N to 4N; measured
+{eff:.3f}** (north-rule target >= 0.8 from N to 4N executors; measured
 {hi['docs_per_sec']:.1f} / (4 x {lo['docs_per_sec']:.1f})).
 
-Notes: single-machine local mode shares one JVM, page cache, and
-shuffle disk, so this is a *lower bound* on multi-node scaling for this
-embarrassingly-parallel build (scan -> Arrow-batch tokenize -> salted
-term-sharded aggregation); the only cross-task structure is the final
-term shuffle, which is salted to {8} buckets per term to cap reducer
-skew. Regenerate: `python scripts/scaling_run.py {n_low} {sf_dir}`.
+Notes: single-machine local mode shares one JVM heap, page cache and
+shuffle disk, so this under-reports multi-node scaling for this
+embarrassingly-parallel build: the map side (scan -> Arrow-batched
+tokenize/stem) has no cross-task structure at all, and the only wide
+stage is the final term shuffle, salted 8 ways per term to cap reducer
+skew. Regenerate: `python scripts/scaling_run.py {n_low} {lo['n_docs']}`.
 
 ## Reference baseline
 
-The reference repo publishes no benchmark numbers (BASELINE.md at repo
-root); these measurements define the baseline going forward.
+The reference repo publishes no benchmark numbers (see BASELINE.md at
+the repo root); these measurements define the baseline going forward.
 """)
     print("wrote BENCH/BASELINE.md")
 
