@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from google_like_search_engine_spark.session import get_spark
 from google_like_search_engine_spark import catalog as c
 from google_like_search_engine_spark import catalog_text as t
-from google_like_search_engine_spark.indexer import build_postings, build_posting_lists
+from google_like_search_engine_spark.compression import (
+    assign_doc_indexes,
+    block_postings,
+)
+from google_like_search_engine_spark.indexer import build_postings
 from google_like_search_engine_spark.ranker import score_bm25
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,10 +74,17 @@ def main():
         )
     )
     n_docs = docs.count()
-    dt_build, _ = timed(
-        lambda: build_posting_lists(build_postings(docs), salt_buckets=8)
-        .write.mode("overwrite").parquet("/tmp/bench_postings")
-    )
+
+    def _build():
+        flat = build_postings(docs)
+        flat.write.mode("overwrite").parquet("/tmp/bench_flat")
+        flat2 = spark.read.parquet("/tmp/bench_flat")
+        idx = assign_doc_indexes(flat2)
+        block_postings(flat2.join(F.broadcast(idx), "doc_id")).write.mode(
+            "overwrite"
+        ).parquet("/tmp/bench_blocks")
+
+    dt_build, _ = timed(_build)
     results["index_build"] = round(dt_build, 3)
     docs_per_sec = n_docs / dt_build if dt_build else 0.0
 
@@ -86,15 +97,20 @@ def main():
         .cache()
     )
     doc_stats.count()
+    avgdl = float(
+        doc_stats.agg(F.avg("n_term_entries")).collect()[0][0] or 1.0
+    )
     qset = [
         "spark shuffle", "index merge", "window stream", "table scan",
         "hash join", "sort order", "query batch", "row value part",
         "fast slow", "key agg",
     ]
+    # one untimed warm-up (python-worker spin-up, broadcast machinery)
+    score_bm25(spark, "warm up", postings, doc_stats, n_docs, avgdl=avgdl).limit(10).collect()
     lat = []
     for q in qset:
         dt, _ = timed(
-            lambda q=q: score_bm25(spark, q, postings, doc_stats, n_docs)
+            lambda q=q: score_bm25(spark, q, postings, doc_stats, n_docs, avgdl=avgdl)
             .limit(10).collect()
         )
         lat.append(dt * 1000)

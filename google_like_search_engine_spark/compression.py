@@ -23,7 +23,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 BLOCK_SIZE = 128
 
@@ -103,46 +103,48 @@ def decode_block(buf: bytes, base: int = 0):
 
 
 def assign_doc_indexes(docs: DataFrame) -> DataFrame:
-    """Dense int64 doc_index per doc_id.
+    """Dense int64 doc_index per doc_id, deterministic (doc_id order).
 
-    Scale note: a global row_number over one partition would bottleneck;
-    we use the standard two-phase scheme — per-partition counts drive a
-    broadcastable offset table, then partition-local sequence numbers.
-    Deterministic given a deterministic input partitioning; for a stable
-    assignment across builds, sort by doc_id first (done here).
+    Distributed two-phase numbering: range-sort doc_id (parallel
+    exchange), then zipWithIndex — per-partition counts drive global
+    offsets, partition-local sequence numbers fill in. This is the one
+    place the engine drops to the RDD API: a window row_number with no
+    partition key would funnel everything through a single reducer.
+
+    The (doc_id -> doc_index) map is broadcast-joinable at test scale;
+    at 10^12 docs persist it bucketed by doc_id and bucket-join instead.
     """
-    w = Window.orderBy("doc_id")
-    # rangepartition-backed row_number: Spark sorts doc_id with a range
-    # exchange, so each partition numbers locally after a global sort —
-    # no single-reducer funnel for the data itself (the window over a
-    # fully-ordered frame does coalesce ordering metadata; for 10^12
-    # rows swap in zipWithIndex on the sorted ids).
-    return docs.select("doc_id").distinct().withColumn(
-        "doc_index", F.row_number().over(w).cast("long") - 1
-    )
+    spark = docs.sparkSession
+    ids = docs.select("doc_id").distinct().sort("doc_id")
+    rdd = ids.rdd.map(lambda r: r[0]).zipWithIndex()
+    return spark.createDataFrame(rdd, "doc_id string, doc_index long")
 
 
 BLOCKS_SCHEMA = (
-    "term string, block_id int, base long, max_doc_index long, "
+    "term string, block_id long, base long, max_doc_index long, "
     "n_docs int, max_tf int, block binary"
 )
 
+# doc-index span per block: a head term contributes <= span entries per
+# block; a block's doc range is [block_id*span, (block_id+1)*span).
+BLOCK_SPAN = 8192
 
-def block_postings(postings_idx: DataFrame, block_size: int = BLOCK_SIZE) -> DataFrame:
+
+def block_postings(postings_idx: DataFrame, block_span: int = BLOCK_SPAN) -> DataFrame:
     """(term, doc_index, tf, positions) -> compressed posting blocks.
 
-    Input must carry ``doc_index`` (join assign_doc_indexes first).
-    Grouping is per (term, block_id) so a head term's blocks build in
-    parallel across reducers — no single giant list is ever
-    materialized (the skew answer for stopword-like terms).
-    ``max_tf`` per block is the block-max metadata WAND uses.
+    Blocks are aligned to *doc-index ranges* (block_id = doc_index //
+    block_span), not fixed entry counts: block assignment is a pure
+    projection (no per-term window/sort — the thing that made a
+    collect_list merge anti-scale on head terms), the shuffle key
+    (term, block_id) spreads a stopword-like term across
+    ceil(N/span) reducers, and doc-aligned blocks are exactly the
+    skip-list structure block-max WAND wants (all terms' blocks for a
+    doc range co-locate). ``max_tf`` per block is the block-max bound.
     """
-    w = Window.partitionBy("term").orderBy("doc_index")
     with_block = postings_idx.select(
         "term", "doc_index", "tf", "positions"
-    ).withColumn(
-        "block_id", ((F.row_number().over(w) - 1) / block_size).cast("int")
-    )
+    ).withColumn("block_id", (F.col("doc_index") / block_span).cast("long"))
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -150,7 +152,7 @@ def block_postings(postings_idx: DataFrame, block_size: int = BLOCK_SIZE) -> Dat
             for (term, block_id), g in pdf.groupby(["term", "block_id"], sort=False):
                 g = g.sort_values("doc_index")
                 idxs = g["doc_index"].tolist()
-                base = idxs[0]
+                base = int(block_id) * block_span
                 blob = encode_block(idxs, g["tf"].tolist(), g["positions"].tolist(), base)
                 rows.append(
                     (term, block_id, base, idxs[-1], len(idxs), int(g["tf"].max()), blob)
@@ -163,7 +165,8 @@ def block_postings(postings_idx: DataFrame, block_size: int = BLOCK_SIZE) -> Dat
                 ],
             )
 
-    # repartition by (term, block_id) so one reducer handles one block
+    # exchange on (term, block_id): co-locates each block's entries on
+    # one reducer; mapInPandas then encodes whole blocks per partition.
     return (
         with_block.repartition("term", "block_id")
         .mapInPandas(encode, schema=BLOCKS_SCHEMA)
@@ -177,7 +180,7 @@ def unblock_postings(blocks: DataFrame) -> DataFrame:
         for pdf in batches:
             terms, idxs_out, tfs_out, pos_out = [], [], [], []
             for term, base, blob in zip(pdf["term"], pdf["base"], pdf["block"]):
-                idxs, tfs, plists = decode_block(bytes(blob), int(base))
+                idxs, tfs, plists = decode_block(bytes(blob), base=int(base))
                 terms.extend([term] * len(idxs))
                 idxs_out.extend(idxs)
                 tfs_out.extend(tfs)

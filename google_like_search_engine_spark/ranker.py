@@ -110,6 +110,7 @@ def score_bm25(
     k1: float = 1.2,
     b: float = 0.75,
     use_stems: bool = True,
+    avgdl: float | None = None,
 ) -> DataFrame:
     """BM25 top-k scoring; returns (url, score) ordered desc.
 
@@ -117,15 +118,17 @@ def score_bm25(
     raw+stem — consistent between index and query side); df counted on
     distinct docs per term. Query expansion mirrors expand_query but
     dedupes on the lowercase form (BM25 is our own scorer; no reference
-    quirk to preserve).
+    quirk to preserve). Pass a precomputed ``avgdl`` on the serving path
+    to avoid one aggregation job per query.
     """
     words = {w.lower() for w in (expand_query(query) if use_stems else query.split())}
     if not words:
         return spark.createDataFrame([], "url string, score double")
     terms = spark.createDataFrame([(w,) for w in sorted(words)], "term string")
 
-    avgdl_row = doc_stats.agg(F.avg("n_term_entries").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"] or 1.0)
+    if avgdl is None:
+        avgdl_row = doc_stats.agg(F.avg("n_term_entries").alias("avgdl")).collect()[0]
+        avgdl = float(avgdl_row["avgdl"] or 1.0)
 
     matched = postings.join(F.broadcast(terms), "term").select(
         "term", "doc_id", "url", "tf"

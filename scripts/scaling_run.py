@@ -39,8 +39,10 @@ import json, sys, time
 sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from google_like_search_engine_spark.session import get_spark
+from google_like_search_engine_spark.compression import (
+    assign_doc_indexes, block_postings)
 from google_like_search_engine_spark.indexer import (
-    build_posting_lists, build_postings, docs_from_pages)
+    build_postings, docs_from_pages)
 
 cores = int(sys.argv[1]); path = sys.argv[2]
 spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
@@ -48,8 +50,12 @@ pages = spark.read.parquet(path)
 n = pages.count()  # warm parquet footers; timed run is compute-only
 t0 = time.perf_counter()
 docs = docs_from_pages(pages)
-(build_posting_lists(build_postings(docs), salt_buckets=8)
- .write.mode("overwrite").parquet(f"/tmp/scaling_postings_{cores}"))
+flat = build_postings(docs)
+flat.write.mode("overwrite").parquet(f"/tmp/scaling_flat_{cores}")
+flat = spark.read.parquet(f"/tmp/scaling_flat_{cores}")
+idx = assign_doc_indexes(flat)
+blocked = block_postings(flat.join(F.broadcast(idx), "doc_id"))
+blocked.write.mode("overwrite").parquet(f"/tmp/scaling_blocks_{cores}")
 dt = time.perf_counter() - t0
 print(json.dumps({"cores": cores, "n_docs": n, "sec": dt,
                   "docs_per_sec": n / dt}))
@@ -89,10 +95,11 @@ def main():
 ## Scaling evidence (north-rule two-cluster-size criterion, sandbox proxy)
 
 Same full inverted-index build (page filter -> doc-ID hash ->
-tokenize + Porter stem + positions + L2 norm -> salted term-sharded
-posting-list merge -> parquet write), same pre-generated synthetic
-Common-Crawl-style corpus ({lo['n_docs']} pages), two parallelism
-levels in separate JVMs:
+tokenize + Porter stem + positions + L2 norm -> flat postings write ->
+dense doc-index assignment -> doc-range-blocked delta-gap+varint
+compressed posting blocks sharded by (term, block) -> parquet write),
+same pre-generated synthetic Common-Crawl-style corpus
+({lo['n_docs']} pages), two parallelism levels in separate JVMs:
 
 | parallelism | wall-clock (s) | throughput (docs/sec) |
 |---|---|---|
@@ -105,10 +112,12 @@ levels in separate JVMs:
 
 Notes: single-machine local mode shares one JVM heap, page cache and
 shuffle disk, so this under-reports multi-node scaling for this
-embarrassingly-parallel build: the map side (scan -> Arrow-batched
-tokenize/stem) has no cross-task structure at all, and the only wide
-stage is the final term shuffle, salted 8 ways per term to cap reducer
-skew. Regenerate: `python scripts/scaling_run.py {n_low} {lo['n_docs']}`.
+build: the map side (scan -> Arrow-batched tokenize/stem) has no
+cross-task structure at all, and the wide stages are (a) the dense
+doc-index sort+zipWithIndex and (b) the (term, doc-range-block)
+exchange, where a head term spreads over ceil(N/8192) reducers — no
+single-reducer funnel anywhere.
+Regenerate: `python scripts/scaling_run.py {n_low} {lo['n_docs']}`.
 
 ## Reference baseline
 

@@ -59,7 +59,7 @@ def test_block_postings_spark_roundtrip(spark):
     postings = build_postings(docs)
     idx = assign_doc_indexes(postings)
     pidx = postings.join(idx, "doc_id")
-    blocks = block_postings(pidx, block_size=16)
+    blocks = block_postings(pidx, block_span=16)
     back = unblock_postings(blocks)
 
     orig = {
@@ -72,10 +72,11 @@ def test_block_postings_spark_roundtrip(spark):
     }
     assert got == orig
 
-    # block invariants: bounded size, max metadata correct
+    # block invariants: doc-range alignment, bounded entries, metadata
     for b in blocks.collect():
-        assert b["n_docs"] <= 16
-        assert b["base"] <= b["max_doc_index"]
+        assert b["n_docs"] <= 16  # <= span entries per block per term
+        assert b["base"] == b["block_id"] * 16
+        assert b["base"] <= b["max_doc_index"] < b["base"] + 16
 
     # compression actually compresses vs raw int arrays
     raw_bytes = sum(4 + 4 + 4 * len(v[1]) for v in orig.values())
