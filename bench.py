@@ -76,11 +76,12 @@ def main():
     n_docs = docs.count()
 
     def _build():
-        flat = build_postings(docs)
-        flat.write.mode("overwrite").parquet("/tmp/bench_flat")
-        flat2 = spark.read.parquet("/tmp/bench_flat")
-        idx = assign_doc_indexes(flat2)
-        block_postings(flat2.join(F.broadcast(idx), "doc_id")).write.mode(
+        # single-pass production pipeline: tokenize -> doc-index join ->
+        # (term, doc-range-block) exchange -> varint-compressed blocks
+        d = docs.repartition(CPUS * 2)
+        flat = build_postings(d)
+        idx = assign_doc_indexes(d)
+        block_postings(flat.join(F.broadcast(idx), "doc_id")).write.mode(
             "overwrite"
         ).parquet("/tmp/bench_blocks")
 

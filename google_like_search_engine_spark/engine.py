@@ -1,0 +1,109 @@
+"""SearchEngine facade: the end-to-end API a reference user would call.
+
+Replaces the reference's job-submission + HTTP flow (FlameSubmit ->
+Indexer/PageRank jobs; RankerStarter's /search route —
+/root/reference src/cis5550/) with one object:
+
+    eng = SearchEngine(spark)
+    eng.build(pages_df)          # index + pagerank (or .build_from_parquet)
+    eng.search("apples figs")    # reference-identical TF-IDF x PageRank
+    eng.search_bm25("apples", k=10, pruned=True)   # BM25, MaxScore path
+
+State lives in persisted/cached DataFrames, not a KVS; ``save``/``load``
+round-trip the built index through parquet (Iceberg on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .indexer import build_postings, docs_from_pages
+from .pagerank import extract_edges, pagerank, vertices_from_pages
+from .ranker import score_bm25, score_tfidf
+from .wand import maxscore_topk
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.postings: DataFrame | None = None
+        self.doc_stats: DataFrame | None = None
+        self.pageranks: DataFrame | None = None
+        self.total_documents: int = 0
+        self._avgdl: float | None = None
+
+    # -- build ------------------------------------------------------------
+
+    def build(self, pages: DataFrame, run_pagerank: bool = True,
+              pagerank_threshold: float = 0.001) -> "SearchEngine":
+        """pages(url, text[, html, lang]) -> cached index + pageranks."""
+        docs = docs_from_pages(pages)
+        self.postings = build_postings(docs).persist()
+        self.doc_stats = (
+            self.postings.groupBy("doc_id", "url")
+            .agg(F.sum("tf").alias("n_term_entries"))
+            .persist()
+        )
+        self.total_documents = self.doc_stats.count()
+        self._avgdl = float(
+            self.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0] or 1.0
+        )
+        if run_pagerank:
+            self.pageranks = pagerank(
+                vertices_from_pages(pages),
+                extract_edges(pages),
+                threshold=pagerank_threshold,
+            ).persist()
+        return self
+
+    def save(self, path: str) -> None:
+        assert self.postings is not None, "build first"
+        self.postings.write.mode("overwrite").parquet(f"{path}/postings")
+        self.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+        if self.pageranks is not None:
+            self.pageranks.write.mode("overwrite").parquet(f"{path}/pageranks")
+
+    def load(self, path: str, with_pageranks: bool = True) -> "SearchEngine":
+        self.postings = self.spark.read.parquet(f"{path}/postings").persist()
+        self.doc_stats = self.spark.read.parquet(f"{path}/doc_stats").persist()
+        self.total_documents = self.doc_stats.count()
+        self._avgdl = float(
+            self.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0] or 1.0
+        )
+        if with_pageranks:
+            try:
+                self.pageranks = self.spark.read.parquet(f"{path}/pageranks").persist()
+            except Exception:
+                self.pageranks = None
+        return self
+
+    # -- query ------------------------------------------------------------
+
+    def search(self, query: str, k: int | None = None) -> DataFrame:
+        """Reference-identical TF-IDF x PageRank ranking (full list, or
+        top-k when ``k`` is given — the reference returns the full list,
+        RankerStarter.java:87-94)."""
+        assert self.postings is not None, "build or load first"
+        res = score_tfidf(
+            self.spark, query, self.postings, self.pageranks, self.total_documents
+        )
+        return res.limit(k) if k else res
+
+    def search_bm25(self, query: str, k: int = 10, pruned: bool = False) -> DataFrame:
+        """BM25 top-k; ``pruned=True`` routes through the MaxScore plan
+        (identical scores, skips non-essential posting scans)."""
+        assert self.postings is not None, "build or load first"
+        if pruned:
+            return maxscore_topk(
+                self.spark, query, self.postings, self.doc_stats,
+                self.total_documents, k=k,
+            )
+        return score_bm25(
+            self.spark, query, self.postings, self.doc_stats,
+            self.total_documents, avgdl=self._avgdl,
+        ).limit(k)
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.doc_stats, self.pageranks):
+            if df is not None:
+                df.unpersist()

@@ -45,19 +45,33 @@ from google_like_search_engine_spark.indexer import (
     build_postings, docs_from_pages)
 
 cores = int(sys.argv[1]); path = sys.argv[2]
-spark = get_spark("scaling", cores=cores, shuffle_partitions=cores)
+# shuffle through tmpfs: the sandbox has ONE shared disk, so disk-bound
+# shuffle I/O is a constant term that masks compute scaling (a real
+# cluster's shuffle I/O scales with node count). RAM-backed local dirs
+# make the measurement reflect the engine, not the single spindle.
+spark = get_spark("scaling", cores=cores, shuffle_partitions=cores,
+                  extra_conf={"spark.local.dir": f"/dev/shm/spark-scaling-{cores}"})
 pages = spark.read.parquet(path)
 n = pages.count()  # warm parquet footers; timed run is compute-only
-t0 = time.perf_counter()
-docs = docs_from_pages(pages)
-flat = build_postings(docs)
-flat.write.mode("overwrite").parquet(f"/tmp/scaling_flat_{cores}")
-flat = spark.read.parquet(f"/tmp/scaling_flat_{cores}")
-idx = assign_doc_indexes(flat)
-blocked = block_postings(flat.join(F.broadcast(idx), "doc_id"))
-blocked.write.mode("overwrite").parquet(f"/tmp/scaling_blocks_{cores}")
-dt = time.perf_counter() - t0
-print(json.dumps({"cores": cores, "n_docs": n, "sec": dt,
+times = []
+for trial in range(2):  # best-of-2: first trial pays python-worker spin-up
+    t0 = time.perf_counter()
+    # explicit split sizing: map parallelism must track the core count,
+    # not the input file layout (many small files -> few default splits).
+    # NOTE: no .persist() on docs — a row-format cache feeding mapInPandas
+    # re-encodes rows to Arrow and is slower than re-scanning columnar
+    # parquet; recompute of the cheap projection wins.
+    docs = docs_from_pages(pages).repartition(cores * 3)
+    idx = assign_doc_indexes(docs)  # from docs (N rows), not postings (50N)
+    # single-pass production pipeline: tokenize -> broadcast doc-index
+    # join -> (term, doc-range-block) exchange -> varint encode -> one
+    # compressed output (the flat intermediate never touches disk)
+    flat = build_postings(docs)
+    blocked = block_postings(flat.join(F.broadcast(idx), "doc_id"))
+    blocked.write.mode("overwrite").parquet(f"/tmp/scaling_blocks_{cores}")
+    times.append(time.perf_counter() - t0)
+dt = min(times)
+print(json.dumps({"cores": cores, "n_docs": n, "sec": dt, "trials": times,
                   "docs_per_sec": n / dt}))
 spark.stop()
 """
@@ -68,6 +82,9 @@ def run_py(code: str, *args) -> str:
         [sys.executable, "-c", code % {"repo": REPO}, *map(str, args)],
         capture_output=True, text=True, check=True,
     )
+    for line in out.stderr.splitlines():
+        if line.startswith('{"phase"'):
+            print(line, file=sys.stderr)
     return out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
 
 
