@@ -299,6 +299,94 @@ GROUP BY n_name
 
 
 # --------------------------------------------------------------------------
+# Set ops / rollup / pivot / window — operators the reference lacks but
+# Spark provides natively (SURVEY.md section 2.1 closing note)
+# --------------------------------------------------------------------------
+
+def setop_union(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9500)
+    s = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9500)
+    return c.select(F.col("c_name").alias("name")).union(
+        s.select(F.col("s_name").alias("name"))
+    ).distinct()
+
+
+SETOP_UNION_SQL = """
+SELECT c_name AS name FROM customer WHERE c_acctbal > 9500
+UNION
+SELECT s_name AS name FROM supplier WHERE s_acctbal > 9500
+"""
+
+
+def setop_except(spark, sf_dir):
+    p = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("key"))
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("key"))
+    return p.exceptAll(li).distinct()
+
+
+SETOP_EXCEPT_SQL = """
+SELECT p_partkey AS key FROM part
+EXCEPT
+SELECT l_partkey AS key FROM lineitem
+"""
+
+
+def rollup_revenue(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+    )
+
+
+ROLLUP_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def pivot_status(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_o", "F": "qty_f"})
+    )
+
+
+PIVOT_STATUS_SQL = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def window_top_order(spark, sf_dir):
+    """Largest order per customer (row_number window, deterministic
+    tie-break by order key)."""
+    from pyspark.sql import Window as W
+
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+WINDOW_TOP_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Events: windowed aggregation + sessionization (batch forms; the
 # streaming module runs the same logic incrementally)
 # --------------------------------------------------------------------------

@@ -25,6 +25,12 @@ QUERIES = {
     "flame_join": (c.flame_join, c.FLAME_JOIN_SQL),
     "flame_cogroup": (c.flame_cogroup, c.FLAME_COGROUP_SQL),
     "flame_take": (c.flame_take, c.FLAME_TAKE_SQL),
+    # set ops / rollup / pivot / window
+    "setop_union": (c.setop_union, c.SETOP_UNION_SQL),
+    "setop_except": (c.setop_except, c.SETOP_EXCEPT_SQL),
+    "rollup_revenue": (c.rollup_revenue, c.ROLLUP_REVENUE_SQL),
+    "pivot_status": (c.pivot_status, c.PIVOT_STATUS_SQL),
+    "window_top_order": (c.window_top_order, c.WINDOW_TOP_ORDER_SQL),
     # TPC-H-style analytics
     "tpch_q1": (c.tpch_q1, c.TPCH_Q1_SQL),
     "tpch_q3": (c.tpch_q3, c.TPCH_Q3_SQL),
