@@ -282,6 +282,33 @@ def tpch_q5(spark, sf_dir):
     )
 
 
+def tpch_q6(spark, sf_dir):
+    """Forecast revenue change: pure filter + agg (the pushdown
+    showcase — every predicate reaches the parquet scan)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+            "revenue"
+        )
+    )
+
+
+TPCH_Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 TPCH_Q5_SQL = """
 SELECT n_name,
        round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue

@@ -443,6 +443,74 @@ SELECT doc_id,
 FROM documents
 """
 
+PHRASE = ("table", "scan")
+
+
+def phrase_search(spark, sf_dir):
+    """Positional phrase query: docs containing the exact bigram
+    PHRASE, with occurrence counts — the positions-list capability the
+    reference's index stores (Indexer.java:96-98) exercised as a query.
+    Implemented as position-adjacency (pos2 = pos1 + 1) on the token
+    stream; the blocked index serves the same plan from its positions
+    arrays."""
+    from pyspark.sql import Window as W
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w"))
+        .where(F.col("w") != "")
+    )
+    toks = toks.withColumn(
+        "pos", F.row_number().over(W.partitionBy("doc_id").orderBy("pos0"))
+    ).select("doc_id", "pos", "w")
+    t1 = toks.where(F.col("w") == PHRASE[0]).alias("t1")
+    t2 = toks.where(F.col("w") == PHRASE[1]).alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t2.doc_id") == F.col("t1.doc_id"))
+            & (F.col("t2.pos") == F.col("t1.pos") + 1),
+        )
+        .groupBy(F.col("t1.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE w <> ''
+)
+SELECT t1.doc_id, count(*) AS n_occurrences
+FROM toks t1 JOIN toks t2
+  ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+WHERE t1.w = '{PHRASE[0]}' AND t2.w = '{PHRASE[1]}'
+GROUP BY t1.doc_id
+"""
+
+
+def term_autocomplete(spark, sf_dir, prefix: str = "s"):
+    """Prefix term lookup with document frequency — the reference
+    ranker's autocomplete surface (RankerStarter.java:38-42 loads all
+    index keys; we keep it a pushed-down prefix scan)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .where(F.col("w").startswith(prefix))
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+
+
+TERM_AUTOCOMPLETE_SQL = f"""
+WITH {_TOKENS_CTE}
+SELECT w, count(DISTINCT doc_id) AS df
+FROM tokens WHERE w LIKE 's%' GROUP BY w
+"""
+
 
 # --------------------------------------------------------------------------
 # Embedding similarity search

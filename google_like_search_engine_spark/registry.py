@@ -35,6 +35,7 @@ QUERIES = {
     "tpch_q1": (c.tpch_q1, c.TPCH_Q1_SQL),
     "tpch_q3": (c.tpch_q3, c.TPCH_Q3_SQL),
     "tpch_q5": (c.tpch_q5, c.TPCH_Q5_SQL),
+    "tpch_q6": (c.tpch_q6, c.TPCH_Q6_SQL),
     # events
     "events_hourly": (c.events_hourly, c.EVENTS_HOURLY_SQL),
     "events_sessions": (c.events_sessions, c.EVENTS_SESSIONS_SQL),
@@ -55,6 +56,8 @@ QUERIES = {
     # embeddings
     "cosine_scores": (t.cosine_scores, t.COSINE_SCORES_SQL),
     "bpe_tokens": (t.bpe_tokens, t.BPE_TOKENS_SQL),
+    "phrase_search": (t.phrase_search, t.PHRASE_SEARCH_SQL),
+    "term_autocomplete": (t.term_autocomplete, t.TERM_AUTOCOMPLETE_SQL),
 }
 
 

@@ -1,0 +1,49 @@
+"""Incremental streaming index build: two waves of pages == batch build."""
+
+from pyspark.sql import functions as F
+
+from google_like_search_engine_spark.corpus import generate_pages
+from google_like_search_engine_spark.indexer import build_postings, docs_from_pages
+from google_like_search_engine_spark.streaming.index_stream import (
+    compact_index,
+    incremental_index,
+    stream_pages,
+)
+
+
+def test_incremental_index_matches_batch(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "index_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    all_pages = generate_pages(spark, 80, partitions=2).cache()
+    wave1 = all_pages.where(F.col("warc_ts") < "2024-01-01 00:00:40")
+    wave2 = all_pages.where(F.col("warc_ts") >= "2024-01-01 00:00:40")
+
+    # wave 1 lands, stream drains it
+    wave1.write.mode("append").parquet(pages_dir)
+    q = incremental_index(stream_pages(spark, pages_dir), out_dir, ckpt)
+    q.awaitTermination()
+
+    mid = compact_index(spark, out_dir)
+    n_mid = mid.count()
+    assert n_mid > 0
+
+    # wave 2 lands, a NEW availableNow drain picks up only the new files
+    wave2.write.mode("append").parquet(pages_dir)
+    q2 = incremental_index(stream_pages(spark, pages_dir), out_dir, ckpt)
+    q2.awaitTermination()
+
+    final = compact_index(spark, out_dir)
+    batch = build_postings(docs_from_pages(all_pages))
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in final.collect()
+    }
+    expected = {
+        (r["term"], r["doc_id"]): (r["tf"], list(r["positions"]))
+        for r in batch.collect()
+    }
+    assert got == expected
+    assert len(got) > n_mid
+    all_pages.unpersist()
