@@ -49,6 +49,156 @@ def _bm25_partial(k1: float, b: float, n: float, avgdl: float):
     )
 
 
+def blocked_maxscore_topk(
+    spark: SparkSession,
+    query: str,
+    blocks: DataFrame,
+    doc_stats_idx: DataFrame,
+    total_documents: int,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    use_stems: bool = True,
+) -> DataFrame:
+    """Exact BM25 top-k over the compressed blocked index
+    (compression.block_postings output) with block-level skipping.
+
+    ``doc_stats_idx``: (doc_index, url, n_term_entries). Score-identical
+    to the flat maxscore_topk / naive scorer (property-tested).
+
+    The block-max mechanics the doc-range-aligned layout enables:
+    1. term stats come from block METADATA only (sum n_docs = df,
+       max max_tf) — no decoding;
+    2. theta is seeded by decoding only the highest-ub term's blocks;
+    3. candidate doc_indexes come from decoding essential terms'
+       blocks; non-essential terms then decode ONLY blocks whose
+       doc-range intersects a candidate block (semi-join on block_id —
+       whole blocks skip without touching their bytes).
+    """
+    from .compression import unblock_postings
+
+    words = sorted({w.lower() for w in (expand_query(query) if use_stems else query.split())})
+    if not words:
+        return spark.createDataFrame([], "url string, score double")
+    n = float(total_documents)
+
+    stats = doc_stats_idx.agg(
+        F.avg("n_term_entries").alias("avgdl"), F.min("n_term_entries").alias("min_dl")
+    ).collect()[0]
+    avgdl = float(stats["avgdl"] or 1.0)
+    min_dl = float(stats["min_dl"] or 1.0)
+
+    terms = spark.createDataFrame([(w,) for w in words], "term string")
+    qblocks = blocks.join(F.broadcast(terms), "term").persist()
+
+    # (1) term stats from metadata only
+    tstats = (
+        qblocks.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.max("max_tf").alias("max_tf"))
+        .collect()
+    )
+    if not tstats:
+        qblocks.unpersist()
+        return spark.createDataFrame([], "url string, score double")
+
+    def idf(df_):
+        return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+
+    ub = {
+        r["term"]: idf(r["df"])
+        * (float(r["max_tf"]) * (k1 + 1))
+        / (float(r["max_tf"]) + k1 * (1 - b + b * min_dl / avgdl))
+        for r in tstats
+    }
+    dfs = {r["term"]: int(r["df"]) for r in tstats}
+    dfc_all = spark.createDataFrame(
+        [(t, dfs[t]) for t in dfs], "term string, df long"
+    )
+
+    def _score_col():
+        return (
+            F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("n_term_entries") / F.lit(avgdl)))
+        )
+
+    # (2) theta from the best term only
+    best_term = max(ub, key=ub.get)
+    best_decoded = unblock_postings(qblocks.where(F.col("term") == best_term))
+    scored_best = (
+        best_decoded.join(F.broadcast(dfc_all), "term")
+        .join(doc_stats_idx.select("doc_index", "n_term_entries"), "doc_index")
+        .select(_score_col().alias("s"))
+        .orderBy(F.desc("s"))
+        .limit(k)
+        .collect()
+    )
+    theta = float(scored_best[-1]["s"]) if len(scored_best) >= k else 0.0
+
+    by_ub = sorted(ub.items(), key=lambda kv: kv[1])
+    cum = 0.0
+    essential = set(ub)
+    for t, u in by_ub:
+        if cum + u < theta:
+            cum += u
+            essential.discard(t)
+        else:
+            break
+
+    ess_terms = spark.createDataFrame([(t,) for t in sorted(essential)], "term string")
+    ess_decoded = unblock_postings(
+        qblocks.join(F.broadcast(ess_terms), "term")
+    ).persist()
+    candidates = ess_decoded.select("doc_index").distinct()
+    cand_blocks = candidates.select(
+        (F.col("doc_index") / F.lit(float(_block_span(blocks)))).cast("long").alias("block_id")
+    ).distinct()
+
+    non_ess = sorted(set(ub) - essential)
+    if non_ess:
+        ne_terms = spark.createDataFrame([(t,) for t in non_ess], "term string")
+        # (3) block skipping: only decode non-essential blocks whose
+        # doc range holds a candidate
+        ne_blocks = qblocks.join(F.broadcast(ne_terms), "term").join(
+            F.broadcast(cand_blocks), "block_id", "left_semi"
+        )
+        decoded = ess_decoded.unionByName(unblock_postings(ne_blocks))
+    else:
+        decoded = ess_decoded
+
+    full = (
+        decoded.join(candidates, "doc_index", "left_semi")
+        .join(F.broadcast(dfc_all), "term")
+        .join(doc_stats_idx.select("doc_index", "url", "n_term_entries"), "doc_index")
+        .select("url", _score_col().alias("partial"))
+    )
+    out = (
+        full.groupBy("url")
+        .agg(F.sum("partial").alias("score"))
+        .orderBy(F.desc("score"), F.asc("url"))
+        .limit(k)
+    )
+    rows = out.collect()
+    qblocks.unpersist()
+    ess_decoded.unpersist()
+    return spark.createDataFrame(rows, "url string, score double") if rows else out
+
+
+def _block_span(blocks: DataFrame) -> int:
+    """Recover the block span from metadata (base = block_id * span)."""
+    r = (
+        blocks.where(F.col("block_id") > 0)
+        .select((F.col("base") / F.col("block_id")).cast("long").alias("span"))
+        .limit(1)
+        .collect()
+    )
+    if r:
+        return int(r[0]["span"])
+    from .compression import BLOCK_SPAN
+
+    return BLOCK_SPAN
+
+
 def maxscore_topk(
     spark: SparkSession,
     query: str,

@@ -1,0 +1,46 @@
+"""Blocked-index MaxScore == flat naive BM25 (exactness through the
+compressed path: encode -> block-skip -> decode -> score)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from google_like_search_engine_spark.compression import (
+    assign_doc_indexes,
+    block_postings,
+)
+from google_like_search_engine_spark.indexer import build_postings
+from google_like_search_engine_spark.ranker import score_bm25
+from google_like_search_engine_spark.wand import blocked_maxscore_topk
+
+from tests.test_wand_and_lineage import _random_docs
+
+
+@pytest.mark.parametrize("query,k", [
+    ("spark shuffle", 5),
+    ("spark", 10),
+    ("index merge join table", 7),
+    ("missingword", 5),
+])
+def test_blocked_maxscore_equals_naive(spark, query, k):
+    docs = _random_docs(spark, n=150, seed=23)
+    postings = build_postings(docs).persist()
+    idx = assign_doc_indexes(docs).persist()
+    blocks = block_postings(postings.join(idx, "doc_id"), block_span=32).persist()
+
+    doc_stats = postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    doc_stats_idx = doc_stats.join(idx, "doc_id").select(
+        "doc_index", "url", "n_term_entries"
+    ).persist()
+    n = docs.count()
+
+    naive = score_bm25(spark, query, postings, doc_stats, n).limit(k).collect()
+    fast = blocked_maxscore_topk(
+        spark, query, blocks, doc_stats_idx, n, k=k
+    ).collect()
+    assert [r["url"] for r in fast] == [r["url"] for r in naive], query
+    for a, b in zip(fast, naive):
+        assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+    for df in (postings, idx, blocks, doc_stats_idx):
+        df.unpersist()
