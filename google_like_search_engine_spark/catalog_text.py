@@ -231,28 +231,28 @@ shingles AS (
 
 
 def _shingles(spark, sf_dir) -> DataFrame:
-    """Distinct 3-word shingles per doc: (doc_id, sh). Token positions
-    are re-numbered over non-empty tokens (matches the oracle CTE)."""
-    docs = load(spark, sf_dir, "documents")
-    toks = (
-        docs.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w"))
-        .where(F.col("w") != "")
-    )
-    from pyspark.sql import Window as W
+    """Distinct 3-word shingles per doc: (doc_id, sh), over non-empty
+    tokens (same semantics as the oracle CTE's position self-joins).
 
-    toks = toks.withColumn(
-        "pos", F.row_number().over(W.partitionBy("doc_id").orderBy("pos0"))
-    ).select("doc_id", "pos", "w")
-    t1, t2, t3 = toks.alias("t1"), toks.alias("t2"), toks.alias("t3")
-    return (
-        t1.join(t2, (F.col("t2.doc_id") == F.col("t1.doc_id")) & (F.col("t2.pos") == F.col("t1.pos") + 1))
-        .join(t3, (F.col("t3.doc_id") == F.col("t1.doc_id")) & (F.col("t3.pos") == F.col("t1.pos") + 2))
-        .select(
-            F.col("t1.doc_id").alias("doc_id"),
-            F.concat_ws(" ", "t1.w", "t2.w", "t3.w").alias("sh"),
-        )
-        .distinct()
+    Shingling is a sliding window over adjacent tokens — partition-local
+    by construction — so one JVM-side pass (filter -> slide -> explode)
+    beats the relational formulation's window + two self-joins (three
+    shuffles) that the SQL oracle uses. transform over an index sequence
+    keeps it in whole-stage codegen."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda w: w != "")
+    window = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
     )
+    # guard: sequence(0, negative) would run descending and element_at
+    # would hit invalid indexes under ANSI mode
+    shingles = F.when(F.size(toks) >= 3, window).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    ).distinct()
 
 
 def dedup_minhash(spark, sf_dir):
