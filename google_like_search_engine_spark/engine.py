@@ -17,10 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .compression import assign_doc_indexes, block_postings
 from .indexer import build_postings, docs_from_pages
 from .pagerank import extract_edges, pagerank, vertices_from_pages
-from .ranker import score_bm25, score_tfidf
-from .wand import maxscore_topk
+from .ranker import expand_query, score_bm25, score_tfidf
+from .wand import blocked_maxscore_topk, maxscore_topk
+
+TERM_BUCKETS = 64
 
 
 class SearchEngine:
@@ -62,6 +65,54 @@ class SearchEngine:
         self.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
         if self.pageranks is not None:
             self.pageranks.write.mode("overwrite").parquet(f"{path}/pageranks")
+
+    # -- blocked (compressed, term-bucket-partitioned) layout ---------------
+
+    def save_blocked(self, path: str) -> None:
+        """Persist the compressed blocked index, hive-partitioned by a
+        hash bucket of the term: a query's term filter becomes
+        *partition pruning* at the scan — only TERM_BUCKETS'
+        worth of the index relevant to the query terms is read, the
+        100 TB serving layout."""
+        assert self.postings is not None, "build first"
+        idx = assign_doc_indexes(self.postings.select("doc_id", "url").distinct())
+        blocks = block_postings(self.postings.join(F.broadcast(idx), "doc_id"))
+        (
+            blocks.withColumn(
+                "term_bucket", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS))
+            )
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(f"{path}/blocks")
+        )
+        (
+            self.doc_stats.join(F.broadcast(idx.drop("url")), "doc_id")
+            .select("doc_index", "url", "n_term_entries")
+            .write.mode("overwrite")
+            .parquet(f"{path}/doc_stats_idx")
+        )
+
+    def search_bm25_blocked(self, index_path: str, query: str, k: int = 10) -> DataFrame:
+        """BM25 top-k straight off the on-disk blocked index: the term
+        filter prunes term_bucket partitions before any decode."""
+        blocks = self.spark.read.parquet(f"{index_path}/blocks")
+        words = sorted({w.lower() for w in expand_query(query)})
+        if words:
+            # partition pruning: restrict the scan to the query terms'
+            # hash buckets (xxhash64 must match save_blocked's)
+            buckets = (
+                self.spark.createDataFrame([(w,) for w in words], "term string")
+                .select(F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)).alias("b"))
+                .collect()
+            )
+            blocks = blocks.where(
+                F.col("term_bucket").isin([r["b"] for r in buckets])
+            )
+        doc_stats_idx = self.spark.read.parquet(f"{index_path}/doc_stats_idx")
+        total = doc_stats_idx.count()
+        return blocked_maxscore_topk(
+            self.spark, query, blocks.drop("term_bucket"), doc_stats_idx, total, k=k
+        )
 
     def load(self, path: str, with_pageranks: bool = True) -> "SearchEngine":
         self.postings = self.spark.read.parquet(f"{path}/postings").persist()

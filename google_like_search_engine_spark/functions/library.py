@@ -1,0 +1,113 @@
+"""Column-level scalar function library (SURVEY.md section 2.3 surface).
+
+Every scalar the reference's job lambdas compute, exposed as Spark
+Column functions. JVM built-ins wherever the semantics allow (the
+cleaning regexes run on Spark's own Java regex engine — the *same*
+engine as the reference, so byte identity is structural); the
+kernels that SQL cannot express (Porter stem, the SHA-1 doc hash,
+URL-normalizing anchor extraction) are Arrow-batched pandas UDFs over
+the golden-tested pure-Python kernels.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import pandas as pd
+from pyspark.sql import Column, functions as F
+
+from ..kernels.hasher import kvs_hash
+from ..kernels.porter import porter_stem
+from ..kernels.textclean import STOPWORDS
+from ..kernels.urls import extract_links
+
+# pandas_udf registration needs an active SparkSession, so the UDF
+# objects are built lazily (once) on first column use, not at import.
+
+
+@lru_cache(maxsize=None)
+def _udfs():
+    @F.pandas_udf("string")
+    def doc_hash_udf(s: pd.Series) -> pd.Series:
+        return s.map(kvs_hash)
+
+    @F.pandas_udf("string")
+    def stem_udf(s: pd.Series) -> pd.Series:
+        return s.map(porter_stem)
+
+    @F.pandas_udf("array<string>")
+    def stem_tokens_udf(s: pd.Series) -> pd.Series:
+        ps = porter_stem
+        return s.map(lambda toks: [ps(t) for t in toks] if toks is not None else None)
+
+    @F.pandas_udf("array<string>")
+    def anchor_links_udf(content: pd.Series, base: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                extract_links(c, b) if c is not None else []
+                for c, b in zip(content, base)
+            ]
+        )
+
+    return {
+        "doc_hash": doc_hash_udf,
+        "stem": stem_udf,
+        "stem_tokens": stem_tokens_udf,
+        "anchor_links": anchor_links_udf,
+    }
+
+
+def doc_hash(col) -> Column:
+    """Reference Hasher.hash (SHA-1 + 2-char alphabet) — the doc ID."""
+    return _udfs()["doc_hash"](F.col(col) if isinstance(col, str) else col)
+
+
+def stem(col) -> Column:
+    """Porter stem of a single token column."""
+    return _udfs()["stem"](F.col(col) if isinstance(col, str) else col)
+
+
+def stem_tokens(col) -> Column:
+    """Porter stem applied to each element of an array<string> column."""
+    return _udfs()["stem_tokens"](F.col(col) if isinstance(col, str) else col)
+
+
+def clean_text(col) -> Column:
+    """The Crawler cleaning chain minus the dictionary filter, as pure
+    Spark SQL expressions (Java regex engine == the reference's engine):
+    script/style strip -> whitespace collapse -> tag strip -> punct
+    strip -> lowercase (Crawler.java:337-357). Dictionary/stopword
+    filtering composes via remove_stopwords / array_intersect."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"<script[^>]*>[\s\S]*?</script>", "")
+    c = F.regexp_replace(c, r"<style[^>]>[\s\S]?</style>", "")  # reference bug kept
+    c = F.regexp_replace(c, r"\s{2,}", " ")
+    c = F.regexp_replace(c, r"<[^>]*>", " ")
+    c = F.regexp_replace(c, r"\p{Punct}", " ")  # Java regex: supported verbatim
+    return F.lower(c)
+
+
+def digit_boundary_tokens(col) -> Column:
+    """The digit-boundary tokenizer split (Crawler.java:358) — Spark's
+    split() uses Java regex, so the pattern is verbatim; trailing empty
+    strings are removed to match Java String.split."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, r"\s+|(?<=\d)(?=\D)|(?<=\D)(?=\d)")
+    # Java split(limit=0) drops trailing empties; Spark keeps them.
+    return F.filter(toks, lambda t: t != "")
+
+
+def remove_stopwords(col) -> Column:
+    """Drop the reference's 127 stopwords from an array<string> column
+    (order-preserving filter, not array_except which also dedupes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    stops = F.array(*[F.lit(s) for s in sorted(STOPWORDS)])
+    return F.filter(c, lambda t: ~F.array_contains(stops, t))
+
+
+def anchor_links(content_col, base_url_col) -> Column:
+    """Normalized, filtered, deduped outlinks of a page (the PageRank
+    link-extraction kernel, PageRank.java:68-92)."""
+    c = F.col(content_col) if isinstance(content_col, str) else content_col
+    b = F.col(base_url_col) if isinstance(base_url_col, str) else base_url_col
+    return _udfs()["anchor_links"](c, b)

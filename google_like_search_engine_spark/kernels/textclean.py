@@ -113,17 +113,37 @@ def index_tokenize(page: str):
     non-blank token is recorded raw and additionally under its Porter
     stem when the stem differs; the document L2 norm is
     sqrt(sum(tf^2)) over the combined raw+stem map.
+
+    Hot path of the index build (called per document inside Arrow
+    batches): locals are bound once, the whitespace-only check avoids
+    allocating ``strip()`` copies, and stems come from the process-wide
+    memo in porter_stem.
     """
     positions: dict = {}
-    pos = 1
+    get = positions.get
+    stem = porter_stem
+    pos = 0
     for token in page.split(" "):
-        if token.strip():
-            positions.setdefault(token, []).append(pos)
-            stemmed = porter_stem(token)
-            if stemmed != token:
-                positions.setdefault(stemmed, []).append(pos)
         pos += 1
-    l2 = sum(len(v) ** 2 for v in positions.values()) ** 0.5
+        # skip blank/whitespace-only tokens without allocating strip()
+        # copies. (Java's trim() also drops tokens made only of control
+        # chars < U+0020 that Python's isspace() misses — unreachable
+        # after the cleaning chain, which never emits control chars.)
+        if not token or token.isspace():
+            continue
+        plist = get(token)
+        if plist is None:
+            positions[token] = [pos]
+        else:
+            plist.append(pos)
+        stemmed = stem(token)
+        if stemmed != token:
+            plist = get(stemmed)
+            if plist is None:
+                positions[stemmed] = [pos]
+            else:
+                plist.append(pos)
+    l2 = sum(len(v) * len(v) for v in positions.values()) ** 0.5
     return positions, l2
 
 

@@ -32,3 +32,24 @@ def test_engine_end_to_end(spark, tmp_path):
     ]
     eng.unpersist()
     eng2.unpersist()
+
+
+def test_engine_blocked_index_path(spark, tmp_path):
+    pages = generate_pages(spark, 120, partitions=4).where("lang = 'en'")
+    eng = SearchEngine(spark).build(pages, run_pagerank=False)
+    naive = eng.search_bm25("search engine index", k=8).collect()
+
+    path = str(tmp_path / "blocked_idx")
+    eng.save_blocked(path)
+    blocked = eng.search_bm25_blocked(path, "search engine index", k=8).collect()
+    assert [r["url"] for r in blocked] == [r["url"] for r in naive]
+    for a, b in zip(blocked, naive):
+        import pytest as _pt
+
+        assert a["score"] == _pt.approx(b["score"], rel=1e-9)
+
+    # the scan is partition-pruned: the physical plan carries a
+    # term_bucket partition filter
+    df = eng.search_bm25_blocked(path, "search", k=3)
+    assert df.collect() is not None
+    eng.unpersist()

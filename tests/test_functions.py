@@ -1,0 +1,62 @@
+"""Column-level scalar function library vs the pure-Python kernels."""
+
+from pyspark.sql import functions as F
+
+from google_like_search_engine_spark import functions as fn
+from google_like_search_engine_spark.kernels import kvs_hash, porter_stem
+from google_like_search_engine_spark.kernels.textclean import STOPWORDS
+
+
+def test_doc_hash_and_stem_columns(spark):
+    df = spark.createDataFrame(
+        [("http://foo.com/page1.html", "meetings"), ("über", "ponies")],
+        "url string, word string",
+    )
+    rows = df.select(
+        fn.doc_hash("url").alias("h"), fn.stem("word").alias("s")
+    ).collect()
+    assert rows[0]["h"] == kvs_hash("http://foo.com/page1.html")
+    assert rows[0]["s"] == porter_stem("meetings") == "meet"
+    assert rows[1]["s"] == "poni"
+
+
+def test_clean_text_matches_kernel_chain(spark):
+    html = ('<html lang="en"><script>var x=1;</script><b>Apples,</b> and '
+            "BANANAS!!  123abc</html>")
+    from google_like_search_engine_spark.kernels.textclean import (
+        _PUNCT_RE, _SCRIPT_RE, _STYLE_RE, _TAG_RE, _WS_RUN_RE)
+
+    expected = _PUNCT_RE.sub(
+        " ", _TAG_RE.sub(" ", _WS_RUN_RE.sub(" ", _STYLE_RE.sub("", _SCRIPT_RE.sub("", html))))
+    ).lower()
+    got = (
+        spark.createDataFrame([(html,)], "html string")
+        .select(fn.clean_text("html").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == expected
+
+
+def test_digit_boundary_tokens_and_stopwords(spark):
+    df = spark.createDataFrame([("the abc123def and spark",)], "t string")
+    toks = df.select(fn.digit_boundary_tokens("t").alias("toks"))
+    got = toks.collect()[0]["toks"]
+    assert got == ["the", "abc", "123", "def", "and", "spark"]
+    filtered = toks.select(fn.remove_stopwords("toks").alias("f")).collect()[0]["f"]
+    assert filtered == ["abc", "123", "def", "spark"]
+    assert "the" in STOPWORDS and "and" in STOPWORDS
+
+
+def test_stem_tokens_array(spark):
+    df = spark.createDataFrame([(["meetings", "ponies", "cat"],)], "toks array<string>")
+    got = df.select(fn.stem_tokens("toks").alias("s")).collect()[0]["s"]
+    assert got == ["meet", "poni", "cat"]
+
+
+def test_anchor_links_column(spark):
+    df = spark.createDataFrame(
+        [('<a href="b.html">x</a> <a href="c.jpg">y</a>', "http://foo.com:80/a.html")],
+        "content string, url string",
+    )
+    got = df.select(fn.anchor_links("content", "url").alias("l")).collect()[0]["l"]
+    assert got == ["http://foo.com:80/b.html"]
