@@ -60,9 +60,10 @@ def main():
 
     results = {}
     for name, fn in BENCH_QUERIES.items():
-        # warm the input cache path once (parquet footer reads etc.)
-        dt, _ = timed(lambda: fn(spark, SF_DIR).collect())
-        results[name] = round(dt, 3)
+        # best of 2: the first run pays page-cache/parquet-footer warmup,
+        # which otherwise dominates small-SF timings
+        dts = [timed(lambda: fn(spark, SF_DIR).collect())[0] for _ in range(2)]
+        results[name] = round(min(dts), 3)
 
     # --- index build throughput (docs/sec) over the documents table ---
     docs = (
@@ -85,7 +86,7 @@ def main():
             "overwrite"
         ).parquet("/tmp/bench_blocks")
 
-    dt_build, _ = timed(_build)
+    dt_build = min(timed(_build)[0] for _ in range(2))
     results["index_build"] = round(dt_build, 3)
     docs_per_sec = n_docs / dt_build if dt_build else 0.0
 

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""spark-submit entry point: build the full search index from a pages table.
+
+Usage (cluster):
+  spark-submit --py-files engine.zip scripts/build_index.py \
+      --pages s3://bucket/pages --out s3://bucket/index \
+      [--blocked] [--pagerank] [--resumable --buckets 64]
+
+Usage (local): python scripts/build_index.py --pages ... --out ...
+
+Build modes:
+  default     flat postings + doc_stats (+ pageranks with --pagerank)
+  --blocked   adds the compressed, term-bucket-partitioned serving index
+  --resumable routes through plans.lineage.checkpointed_index_build
+              (per-bucket lineage + fingerprints; re-run to resume)
+
+Make engine.zip: (cd repo && zip -r engine.zip google_like_search_engine_spark)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--out", required=True, help="index output dir")
+    ap.add_argument("--blocked", action="store_true")
+    ap.add_argument("--pagerank", action="store_true")
+    ap.add_argument("--resumable", action="store_true")
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--pagerank-threshold", type=float, default=0.001)
+    args = ap.parse_args()
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.session import get_spark
+
+    spark = get_spark("build_index")
+    pages = spark.read.parquet(args.pages)
+
+    t0 = time.perf_counter()
+    if args.resumable:
+        from google_like_search_engine_spark.indexer import docs_from_pages
+        from google_like_search_engine_spark.plans.lineage import (
+            checkpointed_index_build,
+        )
+
+        lineage = checkpointed_index_build(
+            docs_from_pages(pages), args.out, n_buckets=args.buckets
+        )
+        n_docs = sum(r["n_docs"] for r in lineage.values())
+        print(f"resumable build: {len(lineage)} buckets, {n_docs} docs")
+    else:
+        eng = SearchEngine(spark).build(
+            pages,
+            run_pagerank=args.pagerank,
+            pagerank_threshold=args.pagerank_threshold,
+        )
+        eng.save(args.out)
+        if args.blocked:
+            eng.save_blocked(os.path.join(args.out, "blocked"))
+        n_docs = eng.total_documents
+    dt = time.perf_counter() - t0
+    print(f"indexed {n_docs} docs in {dt:.1f}s ({n_docs / dt:.1f} docs/sec) -> {args.out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
