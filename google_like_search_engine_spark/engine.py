@@ -31,6 +31,7 @@ class SearchEngine:
         self.spark = spark
         self.postings: DataFrame | None = None
         self.doc_stats: DataFrame | None = None
+        self.term_df: DataFrame | None = None
         self.pageranks: DataFrame | None = None
         self.total_documents: int = 0
         self._avgdl: float | None = None
@@ -51,6 +52,14 @@ class SearchEngine:
         self._avgdl = float(
             self.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0] or 1.0
         )
+        # dictionary table: per-term df precomputed once at build time
+        # so BM25 queries skip the per-query df aggregation
+        self.term_df = (
+            self.postings.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .persist()
+        )
+        self.term_df.count()
         if run_pagerank:
             self.pageranks = pagerank(
                 vertices_from_pages(pages),
@@ -63,6 +72,8 @@ class SearchEngine:
         assert self.postings is not None, "build first"
         self.postings.write.mode("overwrite").parquet(f"{path}/postings")
         self.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+        if self.term_df is not None:
+            self.term_df.write.mode("overwrite").parquet(f"{path}/term_df")
         if self.pageranks is not None:
             self.pageranks.write.mode("overwrite").parquet(f"{path}/pageranks")
 
@@ -121,6 +132,10 @@ class SearchEngine:
         self._avgdl = float(
             self.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0] or 1.0
         )
+        try:
+            self.term_df = self.spark.read.parquet(f"{path}/term_df").persist()
+        except Exception:
+            self.term_df = None
         if with_pageranks:
             try:
                 self.pageranks = self.spark.read.parquet(f"{path}/pageranks").persist()
@@ -151,10 +166,10 @@ class SearchEngine:
             )
         return score_bm25(
             self.spark, query, self.postings, self.doc_stats,
-            self.total_documents, avgdl=self._avgdl,
+            self.total_documents, avgdl=self._avgdl, term_df=self.term_df,
         ).limit(k)
 
     def unpersist(self) -> None:
-        for df in (self.postings, self.doc_stats, self.pageranks):
+        for df in (self.postings, self.doc_stats, self.term_df, self.pageranks):
             if df is not None:
                 df.unpersist()

@@ -111,6 +111,7 @@ def score_bm25(
     b: float = 0.75,
     use_stems: bool = True,
     avgdl: float | None = None,
+    term_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k scoring; returns (url, score) ordered desc.
 
@@ -118,8 +119,11 @@ def score_bm25(
     raw+stem — consistent between index and query side); df counted on
     distinct docs per term. Query expansion mirrors expand_query but
     dedupes on the lowercase form (BM25 is our own scorer; no reference
-    quirk to preserve). Pass a precomputed ``avgdl`` on the serving path
-    to avoid one aggregation job per query.
+    quirk to preserve).
+
+    Serving path: pass precomputed ``avgdl`` and a ``term_df``
+    dictionary table (term, df) from build time — each removes one
+    aggregation job per query (a real engine's dictionary stores df).
     """
     words = {w.lower() for w in (expand_query(query) if use_stems else query.split())}
     if not words:
@@ -133,7 +137,10 @@ def score_bm25(
     matched = postings.join(F.broadcast(terms), "term").select(
         "term", "doc_id", "url", "tf"
     )
-    dfc = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    if term_df is not None:
+        dfc = term_df.join(F.broadcast(terms), "term").select("term", "df")
+    else:
+        dfc = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = float(total_documents)
     scored = (
         matched.join(F.broadcast(dfc), "term")
