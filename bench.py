@@ -123,9 +123,23 @@ def main():
             ).limit(10).collect()
         )
         lat.append(dt * 1000)
+
+    # serving path: driver-resident dictionary -> single-job queries
+    from google_like_search_engine_spark.engine import SearchEngine
+
+    eng = SearchEngine(spark)
+    eng.postings, eng.doc_stats, eng.term_df = postings, doc_stats, term_df
+    eng.total_documents, eng._avgdl = n_docs, avgdl
+    lat_served = []
+    if eng.enable_serving():
+        eng.search_bm25_served("warm up").collect()
+        for q in qset:
+            dt, _ = timed(lambda q=q: eng.search_bm25_served(q, k=10).collect())
+            lat_served.append(dt * 1000)
     postings.unpersist()
     doc_stats.unpersist()
     term_df.unpersist()
+    eng.unpersist()
 
     total = round(sum(results.values()), 3)
     print(
@@ -143,6 +157,12 @@ def main():
                 "bm25_p95_ms": round(
                     sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 1
                 ),
+                "bm25_served_p50_ms": round(statistics.median(lat_served), 1)
+                if lat_served else None,
+                "bm25_served_p95_ms": round(
+                    sorted(lat_served)[max(0, int(len(lat_served) * 0.95) - 1)], 1
+                )
+                if lat_served else None,
             }
         )
     )

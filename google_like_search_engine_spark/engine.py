@@ -169,7 +169,79 @@ class SearchEngine:
             self.total_documents, avgdl=self._avgdl, term_df=self.term_df,
         ).limit(k)
 
+    # -- low-latency serving path ------------------------------------------
+
+    DICT_CAP = 2_000_000  # max dictionary entries held driver-side
+
+    def enable_serving(self) -> bool:
+        """Pin the serving state the reference ranker keeps in RAM
+        (RankerStarter.java:29-60 loads all index keys + pageranks into
+        memory): a driver-side {term: df} dictionary plus a pre-joined
+        cached (term, url, tf, dl) relation. A BM25 query then compiles
+        to ONE Spark job — an IN-list term filter (no join), literal
+        idf map, one groupBy + partial top-k. Returns False (and stays
+        on the join path) when the vocabulary exceeds DICT_CAP — at
+        web scale the dictionary is sharded on the cluster instead."""
+        assert self.postings is not None and self.term_df is not None
+        if self.term_df.count() > self.DICT_CAP:
+            return False
+        self._dict = {r["term"]: int(r["df"]) for r in self.term_df.collect()}
+        self._served = (
+            self.postings.join(
+                self.doc_stats.select("doc_id", "n_term_entries"), "doc_id"
+            )
+            .select("term", "url", "tf", "n_term_entries")
+            .persist()
+        )
+        self._served.count()
+        return True
+
+    def search_bm25_served(
+        self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
+    ) -> DataFrame:
+        """Single-job BM25 top-k off the pinned serving state (score
+        identical to search_bm25; property-tested)."""
+        import math
+
+        from .ranker import expand_query
+
+        assert getattr(self, "_served", None) is not None, "enable_serving first"
+        words = sorted({w.lower() for w in expand_query(query)})
+        hit = [w for w in words if w in self._dict]
+        if not hit:
+            return self.spark.createDataFrame([], "url string, score double")
+        n = float(self.total_documents)
+        idf = {
+            w: math.log((n - self._dict[w] + 0.5) / (self._dict[w] + 0.5) + 1.0)
+            for w in hit
+        }
+        idf_map = F.create_map(
+            *[x for w in hit for x in (F.lit(w), F.lit(idf[w]))]
+        )
+        partial = (
+            idf_map[F.col("term")]
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("n_term_entries") / F.lit(self._avgdl))
+            )
+        )
+        return (
+            self._served.where(F.col("term").isin(hit))
+            .select("url", partial.alias("partial"))
+            .groupBy("url")
+            .agg(F.sum("partial").alias("score"))
+            .orderBy(F.desc("score"), F.asc("url"))
+            .limit(k)
+        )
+
     def unpersist(self) -> None:
-        for df in (self.postings, self.doc_stats, self.term_df, self.pageranks):
+        for df in (
+            self.postings,
+            self.doc_stats,
+            self.term_df,
+            self.pageranks,
+            getattr(self, "_served", None),
+        ):
             if df is not None:
                 df.unpersist()

@@ -34,6 +34,19 @@ def test_engine_end_to_end(spark, tmp_path):
     eng2.unpersist()
 
 
+def test_engine_served_bm25_identical(spark):
+    pages = generate_pages(spark, 100, partitions=4).where("lang = 'en'")
+    eng = SearchEngine(spark).build(pages, run_pagerank=False)
+    assert eng.enable_serving()
+    for q in ["search engine", "apples", "index merge rank", "nosuchterm"]:
+        naive = eng.search_bm25(q, k=8).collect()
+        served = eng.search_bm25_served(q, k=8).collect()
+        assert [r["url"] for r in served] == [r["url"] for r in naive], q
+        for a, b in zip(served, naive):
+            assert a["score"] == pytest.approx(b["score"], rel=1e-9)
+    eng.unpersist()
+
+
 def test_engine_blocked_index_path(spark, tmp_path):
     pages = generate_pages(spark, 120, partitions=4).where("lang = 'en'")
     eng = SearchEngine(spark).build(pages, run_pagerank=False)
