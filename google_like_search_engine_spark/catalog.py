@@ -390,6 +390,37 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS): customers holding an order > 300k."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+"""
+
+
+def join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): parts never shipped."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
 def window_top_order(spark, sf_dir):
     """Largest order per customer (row_number window, deterministic
     tie-break by order key)."""

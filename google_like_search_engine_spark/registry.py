@@ -31,6 +31,8 @@ QUERIES = {
     "rollup_revenue": (c.rollup_revenue, c.ROLLUP_REVENUE_SQL),
     "pivot_status": (c.pivot_status, c.PIVOT_STATUS_SQL),
     "window_top_order": (c.window_top_order, c.WINDOW_TOP_ORDER_SQL),
+    "join_semi": (c.join_semi, c.JOIN_SEMI_SQL),
+    "join_anti": (c.join_anti, c.JOIN_ANTI_SQL),
     # TPC-H-style analytics
     "tpch_q1": (c.tpch_q1, c.TPCH_Q1_SQL),
     "tpch_q3": (c.tpch_q3, c.TPCH_Q3_SQL),
