@@ -181,19 +181,37 @@ def simhash_signatures(
     )
 
 
-def simhash_near_pairs(signatures: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    signatures: DataFrame, max_hamming: int = 3, n_bands: int | None = None
+) -> DataFrame:
     """Near-dup pairs with Hamming distance <= max_hamming.
 
-    Bucket by each of 4 16-bit bands (pigeonhole: any pair within
-    Hamming 3 of a 64-bit signature agrees exactly on >= 1 band), join
-    within buckets, verify with popcount — never all-pairs."""
+    Bucket by disjoint bands of the 64-bit signature (pigeonhole: a
+    pair within Hamming distance d agrees exactly on >= 1 of B bands
+    whenever d < B), join within buckets, verify with popcount — never
+    all-pairs. Full recall therefore requires B >= max_hamming + 1;
+    by default we pick the smallest power-of-two band count that
+    divides 64 and satisfies that bound. Narrow bands (high B) collide
+    heavily at scale — prefer max_hamming <= 3 (4x16-bit bands) for
+    100 TB corpora and treat larger radii as a recall/SLA trade-off."""
+    if n_bands is None:
+        n_bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b >= max_hamming + 1)
+    if 64 % n_bands != 0:
+        raise ValueError(f"n_bands must divide 64, got {n_bands}")
+    if n_bands < max_hamming + 1:
+        raise ValueError(
+            f"{n_bands} bands only guarantee recall for Hamming <= {n_bands - 1}; "
+            f"requested max_hamming={max_hamming}"
+        )
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     bands = None
-    for b in range(4):
+    for b in range(n_bands):
         band = signatures.select(
             "id",
             "simhash",
             F.lit(b).alias("band"),
-            F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bkey"),
+            F.shiftrightunsigned("simhash", width * b).bitwiseAND(F.lit(mask)).alias("bkey"),
         )
         bands = band if bands is None else bands.unionAll(band)
     a, b_ = bands.alias("a"), bands.alias("b")

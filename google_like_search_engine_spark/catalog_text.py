@@ -351,6 +351,137 @@ JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
+def simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs through the library path (Arrow-batched
+    signature UDF + 4x16-bit band buckets + popcount verify,
+    analytics/dedup.py). The oracle recomputes the identical tf-weighted
+    64-bit signature relationally (md5_number_upper == little-endian
+    first 8 md5 bytes == the library's _md5_64)."""
+    from .analytics.dedup import simhash_near_pairs, simhash_signatures
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    return (
+        simhash_near_pairs(simhash_signatures(docs), max_hamming=3)
+        .withColumnsRenamed({"id_a": "doc_a", "id_b": "doc_b"})
+    )
+
+
+SIMHASH_PAIRS_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w),
+th AS (SELECT doc_id, md5_number_upper(w) AS h, tf FROM tf),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN tf ELSE -tf END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN (1::UBIGINT << bit) ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sh, b.band, (sh >> (16 * b.band)) & 65535 AS bkey
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+"""
+
+
+def minhash_verified_pairs(spark, sf_dir):
+    """Library MinHash+LSH (16 hashes, 4 bands) with exact-Jaccard
+    verification (analytics/dedup.py:minhash_dedup). The oracle
+    reproduces the signature math (md5_number_upper masked to 63 bits),
+    the banded candidate join, and the exact shingle-set Jaccard —
+    including the library's short-document fallback (docs with < 3
+    tokens shingle to the whole text)."""
+    from .analytics.dedup import minhash_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    out = minhash_dedup(docs, jaccard_threshold=0.5)
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+    )
+
+
+_LIB_SHINGLES_CTE = """
+toksarr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+lib_shingles AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS sh
+    FROM toksarr CROSS JOIN unnest(generate_series(1, len(toks) - 2)) AS g(i)
+    WHERE len(toks) >= 3
+    UNION ALL
+    SELECT doc_id, array_to_string(toks, ' ') AS sh
+    FROM toksarr WHERE len(toks) BETWEEN 1 AND 2
+  )
+)
+"""
+
+MINHASH_VERIFIED_PAIRS_SQL = f"""
+WITH {_LIB_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id,
+         {", ".join(
+             f"CAST(min(md5_number_upper('{i}:' || sh) & 9223372036854775807) AS BIGINT) AS m{i}"
+             for i in range(16)
+         )}
+  FROM lib_shingles GROUP BY doc_id
+  UNION ALL
+  SELECT doc_id, {", ".join("0" for _ in range(16))}
+  FROM toksarr WHERE len(toks) = 0
+),
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, "
+      f"md5(m{4*b}::VARCHAR || ',' || m{4*b+1} || ',' || m{4*b+2} || ',' || m{4*b+3}) AS bkey FROM sig"
+      for b in range(4)
+  )}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM lib_shingles GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_shared
+  FROM cands c
+  JOIN lib_shingles sa ON sa.doc_id = c.doc_a
+  JOIN lib_shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.doc_a, c.doc_b,
+         CASE WHEN coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(s.n_shared, 0) = 0
+              THEN 1.0
+              ELSE CAST(coalesce(s.n_shared, 0) AS DOUBLE)
+                   / (coalesce(sa.sz, 0) + coalesce(sb.sz, 0) - coalesce(s.n_shared, 0))
+         END AS jaccard
+  FROM cands c
+  LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+  LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+  LEFT JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard
+FROM scored WHERE jaccard >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------

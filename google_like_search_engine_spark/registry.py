@@ -51,6 +51,8 @@ QUERIES = {
     "dedup_exact": (t.dedup_exact, t.DEDUP_EXACT_SQL),
     "dedup_minhash": (t.dedup_minhash, t.DEDUP_MINHASH_SQL),
     "ngram_jaccard": (t.ngram_jaccard, t.NGRAM_JACCARD_SQL),
+    "simhash_pairs": (t.simhash_pairs, t.SIMHASH_PAIRS_SQL),
+    "minhash_verified_pairs": (t.minhash_verified_pairs, t.MINHASH_VERIFIED_PAIRS_SQL),
     # text analysis
     "quality_scores": (t.quality_scores, t.QUALITY_SCORES_SQL),
     "lang_id": (t.lang_id, t.LANG_ID_SQL),
@@ -104,31 +106,6 @@ def _search_pipeline(spark, sf_dir):
     return res.select("url", F.round("score", 6).alias("score")).limit(20)
 
 
-def _simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs over documents (64-bit signatures +
-    banded Hamming join). Bit-level md5 math is not reasonably
-    SQL-expressible -> rows-only check; semantics are pinned by
-    tests/test_analytics.py."""
-    from .analytics.dedup import simhash_near_pairs, simhash_signatures
-
-    docs = c.load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), "text"
-    )
-    return simhash_near_pairs(simhash_signatures(docs), max_hamming=8)
-
-
-def _minhash_verified_pairs(spark, sf_dir):
-    """Library MinHash+LSH with exact-Jaccard verification (the
-    deduplication engine API; the SQL-parallel variant is
-    dedup_minhash). Rows-only check; exactness pinned by tests."""
-    from .analytics.dedup import minhash_dedup
-
-    docs = c.load(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("id"), "text"
-    )
-    return minhash_dedup(docs, jaccard_threshold=0.5)
-
-
 def _lsh_cosine_topk(spark, sf_dir):
     """ANN top-k via random-hyperplane LSH buckets + exact rescoring.
     Approximate by design -> rows-only check; recall is pinned by
@@ -149,7 +126,18 @@ def _multimodal_image_features(spark, sf_dir):
     batching, and UDF signatures are the real path)."""
     from .analytics.multimodal import image_features, synth_assets
 
-    return image_features(synth_assets(spark, n=60), fake=True)
+    feats = image_features(synth_assets(spark, n=60), fake=True)
+    # Stringify the array<float> column: the driver's canonicalizer
+    # sorts/hashes pandas values and dies on unhashable lists.
+    return feats.select(
+        "asset_id",
+        "width",
+        "height",
+        "channels",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_number(x, 6))
+        ).alias("features"),
+    )
 
 
 def _rolling_fingerprints(spark, sf_dir):
@@ -189,8 +177,6 @@ def _bm25_maxscore_topk(spark, sf_dir):
 NO_ORACLE_QUERIES = {
     "pagerank_docs": _pagerank_docs,
     "search_pipeline": _search_pipeline,
-    "simhash_pairs": _simhash_pairs,
-    "minhash_verified_pairs": _minhash_verified_pairs,
     "lsh_cosine_topk": _lsh_cosine_topk,
     "multimodal_image_features": _multimodal_image_features,
     "rolling_fingerprints": _rolling_fingerprints,
