@@ -51,12 +51,17 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_k: int = 3,
+    with_shingle_hashes: bool = False,
 ) -> DataFrame:
-    """(id, sig array<long>) — one partition-local Arrow pass."""
+    """(id, sig array<long>[, shset array<long>]) — one partition-local
+    Arrow pass. ``with_shingle_hashes`` additionally emits the doc's
+    distinct 63-bit shingle hashes, a compact set representation the
+    verify step intersects JVM-side instead of re-shipping full texts
+    (shset is ~8 bytes/token vs the text's full bytes twice)."""
 
     def sigs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, out = [], []
+            ids, out, shsets = [], [], []
             for i, text in zip(pdf[id_col], pdf[text_col]):
                 sh = _shingles(text or "", shingle_k)
                 if not sh:
@@ -68,17 +73,35 @@ def minhash_signatures(
                     ]
                 ids.append(i)
                 out.append(sig)
-            yield pd.DataFrame({"id": ids, "sig": out})
+                if with_shingle_hashes:
+                    shsets.append(
+                        sorted(_md5_64(s) & 0x7FFFFFFFFFFFFFFF for s in sh)
+                    )
+            data = {"id": ids, "sig": out}
+            if with_shingle_hashes:
+                data["shset"] = shsets
+            yield pd.DataFrame(data)
 
+    schema = "id long, sig array<long>"
+    if with_shingle_hashes:
+        schema += ", shset array<long>"
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
-        sigs, schema=f"id long, sig array<long>"
+        sigs, schema=schema
     )
 
 
 def minhash_lsh_pairs(
-    signatures: DataFrame, bands: int = 4
+    signatures: DataFrame, bands: int = 4, max_bucket_size: int = 1000
 ) -> DataFrame:
-    """Candidate near-dup pairs from banded signatures: (id_a, id_b)."""
+    """Candidate near-dup pairs from banded signatures: (id_a, id_b).
+
+    ``max_bucket_size`` bounds the within-bucket self-join: a band
+    bucket of c docs emits c^2/2 pairs, and near-identical clusters
+    (exactly what dedup targets) put all members in one bucket — at
+    100 TB a single hot bucket would be quadratic. Oversized buckets
+    are skipped here (their members still pair via their other,
+    better-distributed bands); at cluster scale route them to an
+    explicit cluster-collapse pass (they ARE a duplicate cluster)."""
     n = bands
     sig = signatures
     rows_per = F.size("sig") / n
@@ -103,6 +126,13 @@ def minhash_lsh_pairs(
     all_bands = band_frames[0]
     for bf in band_frames[1:]:
         all_bands = all_bands.unionAll(bf)
+    bucket_ok = (
+        all_bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bucket_n"))
+        .where(F.col("bucket_n") <= max_bucket_size)
+        .select("band", "bkey")
+    )
+    all_bands = all_bands.join(bucket_ok, ["band", "bkey"], "left_semi")
     a, b_ = all_bands.alias("a"), all_bands.alias("b")
     return (
         a.join(
@@ -124,29 +154,28 @@ def minhash_dedup(
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs verified by exact shingle Jaccard:
     (id_a, id_b, jaccard). LSH prunes the pair space; verification
-    recomputes true Jaccard only for candidates."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_k)
-    cands = minhash_lsh_pairs(sigs, bands)
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    pa = cands.join(texts.withColumnsRenamed({"id": "id_a", "text": "text_a"}), "id_a")
-    both = pa.join(texts.withColumnsRenamed({"id": "id_b", "text": "text_b"}), "id_b")
-
-    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ia, ib, ta, tb in zip(
-                pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]
-            ):
-                sa, sb = _shingles(ta or "", shingle_k), _shingles(tb or "", shingle_k)
-                union = len(sa | sb)
-                j = (len(sa & sb) / union) if union else 1.0
-                rows.append((ia, ib, j))
-            yield pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
-
-    out = both.mapInPandas(verify, schema="id_a long, id_b long, jaccard double")
+    intersects the docs' 63-bit shingle-hash sets (computed once in the
+    signature pass) JVM-side — candidates never re-ship full texts, and
+    set Jaccard over hashes equals set Jaccard over shingles (md5-64
+    collisions aside)."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_k, with_shingle_hashes=True
+    ).persist()
+    cands = minhash_lsh_pairs(sigs.select("id", "sig"), bands, max_bucket_size)
+    sets = sigs.select("id", "shset")
+    pa = cands.join(sets.withColumnsRenamed({"id": "id_a", "shset": "set_a"}), "id_a")
+    both = pa.join(sets.withColumnsRenamed({"id": "id_b", "shset": "set_b"}), "id_b")
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    out = both.select(
+        "id_a",
+        "id_b",
+        F.when(union == 0, F.lit(1.0)).otherwise(inter / union).alias("jaccard"),
+    )
     return out.where(F.col("jaccard") >= jaccard_threshold)
 
 

@@ -325,6 +325,129 @@ GROUP BY n_name
 """
 
 
+def tpch_q18(spark, sf_dir, qty_threshold: int = 250):
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    quantity exceeds the threshold, with customer detail — group-by
+    HAVING feeding a semi-join into a wide join. The HAVING subquery's
+    order keys semi-join (broadcast at this selectivity) before the
+    customer join; deterministic tiebreak keys make the LIMIT safe."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > qty_threshold)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_totalprice,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, strftime(orders.o_orderdate, '%Y-%m-%d'), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def tpch_q9(spark, sf_dir):
+    """Product-type profit by nation and year (TPC-H Q9 shape, adapted:
+    the test corpus ships no partsupp table, so profit is
+    extendedprice*(1-discount) without the supplycost term). Five-table
+    join with the part filter pushed to the scan; nation broadcasts."""
+    p = load(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    s = load(spark, sf_dir, "supplier")
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_profit")
+        )
+    )
+
+
+TPCH_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def tpch_q2_style(spark, sf_dir):
+    """Correlated-scalar-subquery shape (TPC-H Q2's core pattern,
+    adapted: no partsupp table, so the min-supplycost correlation
+    becomes max-acctbal-per-nation): suppliers holding their nation's
+    top account balance. Spark decorrelates to an aggregate + join —
+    the plan Catalyst produces for the EXISTS/scalar-subquery family."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    mx = s.groupBy("s_nationkey").agg(F.max("s_acctbal").alias("max_bal")).select(
+        F.col("s_nationkey").alias("mx_nationkey"), "max_bal"
+    )
+    return (
+        s.join(
+            F.broadcast(mx),
+            (F.col("s_nationkey") == F.col("mx_nationkey"))
+            & (F.col("s_acctbal") == F.col("max_bal")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name", "r_name")
+    )
+
+
+TPCH_Q2_STYLE_SQL = """
+SELECT s_suppkey, s_name, s_acctbal, n_name, r_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE s_acctbal = (SELECT max(s2.s_acctbal) FROM supplier s2
+                   WHERE s2.s_nationkey = supplier.s_nationkey)
+"""
+
+
 # --------------------------------------------------------------------------
 # Set ops / rollup / pivot / window — operators the reference lacks but
 # Spark provides natively (SURVEY.md section 2.1 closing note)

@@ -255,10 +255,18 @@ def _shingles(spark, sf_dir) -> DataFrame:
     ).distinct()
 
 
+LSH_BUCKET_CAP = 1000
+
+
 def dedup_minhash(spark, sf_dir):
     """MinHash + LSH banding: 8 md5-seeded min-hashes over 3-word
     shingles, 4 bands x 2 rows; candidate pairs = docs sharing a band.
-    Deterministic (md5), so the oracle selects identical candidates."""
+    Deterministic (md5), so the oracle selects identical candidates.
+
+    Band buckets larger than LSH_BUCKET_CAP are skipped before the
+    self-join (a bucket of c docs emits c^2/2 pairs — a near-identical
+    cluster would otherwise go quadratic at scale); the cap is mirrored
+    in the oracle SQL so outputs stay identical."""
     sh = _shingles(spark, sf_dir)
     aggs = [
         F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("sh")), "utf-8"))).alias(f"m{i}")
@@ -273,6 +281,13 @@ def dedup_minhash(spark, sf_dir):
             F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("bkey"),
         )
         bands = band if bands is None else bands.unionAll(band)
+    bucket_ok = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= LSH_BUCKET_CAP)
+        .select("band", "bkey")
+    )
+    bands = bands.join(bucket_ok, ["band", "bkey"], "left_semi")
     a, bb = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -296,11 +311,16 @@ sig AS (
          min(md5('6:' || sh)) AS m6, min(md5('7:' || sh)) AS m7
   FROM shingles GROUP BY doc_id
 ),
-bands AS (
+bands_all AS (
   SELECT doc_id, 0 AS band, m0 || m1 AS bkey FROM sig UNION ALL
   SELECT doc_id, 1, m2 || m3 FROM sig UNION ALL
   SELECT doc_id, 2, m4 || m5 FROM sig UNION ALL
   SELECT doc_id, 3, m6 || m7 FROM sig
+),
+bands AS (
+  SELECT ba.* FROM bands_all ba
+  JOIN (SELECT band, bkey FROM bands_all GROUP BY band, bkey
+        HAVING count(*) <= {LSH_BUCKET_CAP}) ok USING (band, bkey)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -308,12 +328,28 @@ FROM bands a JOIN bands b
 """
 
 
+SHINGLE_DF_CAP = 128
+
+
 def ngram_jaccard(spark, sf_dir, min_shared: int = 2):
     """n-gram Jaccard near-dup: doc pairs sharing >= min_shared 3-word
-    shingles, with exact Jaccard similarity."""
+    shingles, with exact Jaccard similarity.
+
+    Shingles present in more than SHINGLE_DF_CAP documents are excluded
+    from the pair-generating join (but still count toward each doc's
+    shingle-set size): a corpus-common shingle — boilerplate footers,
+    licence headers — would otherwise emit df^2/2 pairs and go
+    quadratic at scale. The cap is mirrored in the oracle SQL."""
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .where(F.col("sdf") <= SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh_rare = sh.join(rare, "sh", "left_semi")
+    a, b = sh_rare.alias("a"), sh_rare.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
@@ -338,9 +374,13 @@ def ngram_jaccard(spark, sf_dir, min_shared: int = 2):
 NGRAM_JACCARD_SQL = f"""
 WITH {_SHINGLES_CTE},
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+rare AS (
+  SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {SHINGLE_DF_CAP}
+),
+sh_rare AS (SELECT s.* FROM shingles s JOIN rare USING (sh)),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM sh_rare a JOIN sh_rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2 HAVING count(*) >= 2
 )
 SELECT doc_a, doc_b,
@@ -445,12 +485,17 @@ sig AS (
   SELECT doc_id, {", ".join("0" for _ in range(16))}
   FROM toksarr WHERE len(toks) = 0
 ),
-bands AS (
+bands_all AS (
   {" UNION ALL ".join(
       f"SELECT doc_id, {b} AS band, "
       f"md5(m{4*b}::VARCHAR || ',' || m{4*b+1} || ',' || m{4*b+2} || ',' || m{4*b+3}) AS bkey FROM sig"
       for b in range(4)
   )}
+),
+bands AS (
+  SELECT ba.* FROM bands_all ba
+  JOIN (SELECT band, bkey FROM bands_all GROUP BY band, bkey
+        HAVING count(*) <= 1000) ok USING (band, bkey)
 ),
 cands AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -25,8 +25,6 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-BLOCK_SIZE = 128
-
 
 def varint_encode(values, out: bytearray) -> None:
     for v in values:
@@ -102,27 +100,63 @@ def decode_block(buf: bytes, base: int = 0):
     return doc_idxs, tfs, positions_lists
 
 
-def assign_doc_indexes(docs: DataFrame) -> DataFrame:
-    """Dense int64 doc_index per doc_id, deterministic (doc_id order).
+def assign_doc_indexes(docs: DataFrame, order_col: str = "doc_id") -> DataFrame:
+    """Dense int64 doc_index per doc_id, deterministic (``order_col``
+    order — doc_id by default; the blocked serving index orders by url
+    so that doc_index ties break identically to url ties).
 
-    Distributed two-phase numbering: range-sort doc_id (parallel
-    exchange), then zipWithIndex — per-partition counts drive global
-    offsets, partition-local sequence numbers fill in. This is the one
-    place the engine drops to the RDD API: a window row_number with no
-    partition key would funnel everything through a single reducer.
+    Distributed two-phase numbering, all Arrow-batched (no per-row
+    Python, no RDD): range-partition + sort doc_id, cache that exact
+    partitioning, count rows per partition (one cheap job), broadcast
+    the cumulative offsets, then a mapInPandas adds offset +
+    partition-local sequence. A window row_number with no partition key
+    would funnel everything through a single reducer instead.
 
     The (doc_id -> doc_index) map is broadcast-joinable at test scale;
     at 10^12 docs persist it bucketed by doc_id and bucket-join instead.
     """
     spark = docs.sparkSession
-    ids = docs.select("doc_id").distinct().sort("doc_id")
-    rdd = ids.rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(rdd, "doc_id string, doc_index long")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    cols = ["doc_id"] if order_col == "doc_id" else [order_col, "doc_id"]
+    ids = (
+        docs.select(*cols)
+        .distinct()
+        .repartitionByRange(nparts, order_col)
+        .sortWithinPartitions(order_col)
+        .persist()  # pins the range partitioning across the two passes
+    )
+    counts = (
+        ids.select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["pid"]):
+        offsets[row["pid"]] = acc
+        acc += row["count"]
+    boff = spark.sparkContext.broadcast(offsets)
+
+    def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        start = boff.value.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in batches:
+            idx = pd.RangeIndex(start + seen, start + seen + len(pdf))
+            seen += len(pdf)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "doc_index": idx.to_numpy()}
+            )
+
+    return ids.mapInPandas(number, schema="doc_id string, doc_index long")
 
 
 BLOCKS_SCHEMA = (
     "term string, block_id long, base long, max_doc_index long, "
-    "n_docs int, max_tf int, block binary"
+    "n_docs int, max_tf int, span int, doc_offs array<int>, "
+    "tfs array<int>, dls array<int>, block binary"
 )
 
 # doc-index span per block: a head term contributes <= span entries per
@@ -140,37 +174,108 @@ def block_postings(postings_idx: DataFrame, block_span: int = BLOCK_SPAN) -> Dat
     (term, block_id) spreads a stopword-like term across
     ceil(N/span) reducers, and doc-aligned blocks are exactly the
     skip-list structure block-max WAND wants (all terms' blocks for a
-    doc range co-locate). ``max_tf`` per block is the block-max bound.
+    doc range co-locate). ``max_tf`` per block is the block-max bound;
+    ``span`` is persisted per row (constant per build, RLE-free in
+    parquet) so readers never have to infer it.
+
+    Two physical representations per block:
+    - ``doc_offs``/``tfs`` (+ ``dls`` when the input carries a per-doc
+      ``dl`` length column): columnar int arrays (offset = doc_index -
+      base, always < span so int32 is safe at any corpus size) — the
+      SCORING path reads these via arrays_zip + explode, fully inside
+      whole-stage codegen, no Python workers in the query hot path
+      (``scoring_entries``). With ``dls`` denormalized into the block,
+      BM25 scoring needs NO join at all until the final top-k url
+      lookup — the self-contained-postings serving layout.
+    - ``block``: the delta-gap varint blob holding the full posting
+      incl. positions — the PHRASE/positions path decodes it in an
+      Arrow-batched pass (``unblock_postings``).
+
+    Invariant: exactly ONE output row per (term, block_id). The
+    exchange co-locates each block's entries on one reducer and
+    sortWithinPartitions makes each group contiguous; the encoder
+    streams Arrow batches, carrying the open group across batch
+    boundaries so a group straddling a batch still emits one block.
     """
-    with_block = postings_idx.select(
-        "term", "doc_index", "tf", "positions"
-    ).withColumn("block_id", (F.col("doc_index") / block_span).cast("long"))
+    with_dl = "dl" in postings_idx.columns
+    sel = ["term", "doc_index", "tf", "positions"] + (["dl"] if with_dl else [])
+    with_block = postings_idx.select(*sel).withColumn(
+        "block_id", (F.col("doc_index") / block_span).cast("long")
+    )
+
+    cols = [
+        "term", "block_id", "base", "max_doc_index",
+        "n_docs", "max_tf", "span", "doc_offs", "tfs",
+    ] + (["dls"] if with_dl else []) + ["block"]
+    out_schema = BLOCKS_SCHEMA if with_dl else BLOCKS_SCHEMA.replace(
+        "tfs array<int>, dls array<int>", "tfs array<int>"
+    )
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for (term, block_id), g in pdf.groupby(["term", "block_id"], sort=False):
-                g = g.sort_values("doc_index")
-                idxs = g["doc_index"].tolist()
-                base = int(block_id) * block_span
-                blob = encode_block(idxs, g["tf"].tolist(), g["positions"].tolist(), base)
-                rows.append(
-                    (term, block_id, base, idxs[-1], len(idxs), int(g["tf"].max()), blob)
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "term", "block_id", "base", "max_doc_index",
-                    "n_docs", "max_tf", "block",
-                ],
-            )
+        pending: pd.DataFrame | None = None  # open (term, block_id) group
 
-    # exchange on (term, block_id): co-locates each block's entries on
-    # one reducer; mapInPandas then encodes whole blocks per partition.
+        def emit(g: pd.DataFrame):
+            term = g["term"].iloc[0]
+            block_id = int(g["block_id"].iloc[0])
+            g = g.sort_values("doc_index")
+            idxs = g["doc_index"].tolist()
+            tfs = [int(x) for x in g["tf"]]
+            base = block_id * block_span
+            blob = encode_block(idxs, tfs, g["positions"].tolist(), base)
+            row = [
+                term, block_id, base, idxs[-1], len(idxs),
+                int(g["tf"].max()), block_span,
+                [int(d - base) for d in idxs], tfs,
+            ]
+            if with_dl:
+                row.append([int(x) for x in g["dl"]])
+            row.append(blob)
+            return tuple(row)
+
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if pdf.empty:
+                continue
+            last_key = (pdf["term"].iloc[-1], pdf["block_id"].iloc[-1])
+            tail = pdf[(pdf["term"] == last_key[0]) & (pdf["block_id"] == last_key[1])]
+            head = pdf.drop(tail.index)
+            pending = tail
+            if not head.empty:
+                rows = [
+                    emit(g) for _, g in head.groupby(["term", "block_id"], sort=False)
+                ]
+                yield pd.DataFrame(rows, columns=cols)
+        if pending is not None and not pending.empty:
+            yield pd.DataFrame([emit(pending)], columns=cols)
+
+    # exchange on (term, block_id), then sort within partitions so each
+    # group is contiguous for the streaming encoder above.
     return (
         with_block.repartition("term", "block_id")
-        .mapInPandas(encode, schema=BLOCKS_SCHEMA)
+        .sortWithinPartitions("term", "block_id")
+        .mapInPandas(encode, schema=out_schema)
     )
+
+
+def scoring_entries(blocks: DataFrame) -> DataFrame:
+    """(term, doc_index, tf[, dl]) from the columnar arrays — pure
+    arrays_zip + explode, stays in whole-stage codegen (the BM25 hot
+    path never touches a Python worker). ``dl`` rides along when the
+    block carries denormalized doc lengths (join-free scoring). Falls
+    back to the varint decoder for pre-columnar indexes."""
+    if "doc_offs" not in blocks.columns:
+        return unblock_postings(blocks).drop("positions")
+    arrays = ["doc_offs", "tfs"] + (["dls"] if "dls" in blocks.columns else [])
+    e = F.explode(F.arrays_zip(*arrays)).alias("e")
+    out = blocks.select("term", "base", e).select(
+        "term",
+        (F.col("base") + F.col("e.doc_offs")).alias("doc_index"),
+        F.col("e.tfs").alias("tf"),
+        *([F.col("e.dls").alias("dl")] if "dls" in blocks.columns else []),
+    )
+    return out
 
 
 def unblock_postings(blocks: DataFrame) -> DataFrame:

@@ -86,8 +86,16 @@ class SearchEngine:
         worth of the index relevant to the query terms is read, the
         100 TB serving layout."""
         assert self.postings is not None, "build first"
-        idx = assign_doc_indexes(self.postings.select("doc_id", "url").distinct())
-        blocks = block_postings(self.postings.join(F.broadcast(idx), "doc_id"))
+        # doc_index in URL order: score ties then break identically on
+        # doc_index and url, so the join-free top-k (url looked up only
+        # for the k winners) is exactly the url-tiebroken result
+        idx = assign_doc_indexes(
+            self.postings.select("doc_id", "url").distinct(), order_col="url"
+        )
+        dl = self.doc_stats.select("doc_id", F.col("n_term_entries").alias("dl"))
+        blocks = block_postings(
+            self.postings.join(F.broadcast(idx), "doc_id").join(dl, "doc_id")
+        )
         (
             blocks.withColumn(
                 "term_bucket", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS))
@@ -102,27 +110,140 @@ class SearchEngine:
             .write.mode("overwrite")
             .parquet(f"{path}/doc_stats_idx")
         )
+        # tiny meta sidecar: corpus stats precomputed at build time so a
+        # cold query skips the count + agg jobs over doc_stats entirely
+        stats = self.doc_stats.agg(
+            F.count(F.lit(1)).alias("total_documents"),
+            F.avg("n_term_entries").alias("avgdl"),
+            F.min("n_term_entries").alias("min_dl"),
+        )
+        stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+        # per-term dictionary (df + max_tf from block metadata): queries
+        # resolve term stats driver-side instead of scanning block
+        # metadata per query (RankerStarter.java:38-42 keeps the same
+        # state in RAM). Read back from the written parquet — a
+        # metadata-column-only scan, not a re-run of the block encoder.
+        (
+            self.spark.read.parquet(f"{path}/blocks")
+            .groupBy("term")
+            .agg(F.sum("n_docs").alias("df"), F.max("max_tf").alias("max_tf"))
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS))
+            )
+            .write.mode("overwrite")
+            .parquet(f"{path}/term_stats")
+        )
+
+    def _blocked_handles(self, index_path: str):
+        """Per-path blocked-index handles, opened once: the blocks scan
+        (lazy; term_bucket pruning applies per query), the cached
+        doc-stats dimension, and its count. The old per-query re-read +
+        count() cost two extra jobs per query and dominated cold CLI
+        latency."""
+        cache = getattr(self, "_blocked_cache", None)
+        if cache is None:
+            cache = self._blocked_cache = {}
+        if index_path not in cache:
+            blocks = self.spark.read.parquet(f"{index_path}/blocks")
+            doc_stats_idx = self.spark.read.parquet(
+                f"{index_path}/doc_stats_idx"
+            ).persist()
+            total, stats, term_stats = self._read_sidecars(index_path)
+            if total is None:
+                total = doc_stats_idx.count()
+            cache[index_path] = (blocks, doc_stats_idx, total, stats, term_stats)
+        return cache[index_path]
+
+    def _read_sidecars(self, index_path: str):
+        """Read the tiny meta + term_stats sidecars. Local paths go
+        through pyarrow directly — zero Spark jobs on the cold query
+        path; non-local filesystems (s3/hdfs) fall back to Spark reads."""
+        total = stats = term_stats = None
+
+        def _local(p):
+            return not ("://" in p and not p.startswith("file://"))
+
+        try:
+            if _local(index_path):
+                import pyarrow.parquet as pq
+
+                m = pq.read_table(
+                    index_path.removeprefix("file://") + "/meta"
+                ).to_pylist()[0]
+            else:
+                m = self.spark.read.parquet(f"{index_path}/meta").collect()[0]
+            total = int(m["total_documents"])
+            stats = (float(m["avgdl"] or 1.0), float(m["min_dl"] or 1.0))
+        except Exception:  # pre-meta index layout
+            pass
+        try:
+            if _local(index_path):
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(index_path.removeprefix("file://") + "/term_stats")
+                if tbl.num_rows <= self.DICT_CAP:
+                    has_bucket = "bucket" in tbl.column_names
+                    term_stats = {
+                        t: (int(d), int(mt), int(bk) if has_bucket else None)
+                        for t, d, mt, bk in zip(
+                            tbl.column("term").to_pylist(),
+                            tbl.column("df").to_pylist(),
+                            tbl.column("max_tf").to_pylist(),
+                            tbl.column("bucket").to_pylist()
+                            if has_bucket
+                            else [None] * tbl.num_rows,
+                        )
+                    }
+            else:
+                rows = self.spark.read.parquet(f"{index_path}/term_stats").take(
+                    self.DICT_CAP + 1
+                )
+                if len(rows) <= self.DICT_CAP:
+                    term_stats = {
+                        r["term"]: (
+                            int(r["df"]),
+                            int(r["max_tf"]),
+                            int(r["bucket"]) if "bucket" in r else None,
+                        )
+                        for r in rows
+                    }
+        except Exception:  # pre-dictionary index layout
+            pass
+        return total, stats, term_stats
 
     def search_bm25_blocked(self, index_path: str, query: str, k: int = 10) -> DataFrame:
         """BM25 top-k straight off the on-disk blocked index: the term
         filter prunes term_bucket partitions before any decode."""
-        blocks = self.spark.read.parquet(f"{index_path}/blocks")
+        blocks, doc_stats_idx, total, stats, term_stats = self._blocked_handles(index_path)
         words = sorted({w.lower() for w in expand_query(query)})
         if words:
             # partition pruning: restrict the scan to the query terms'
-            # hash buckets (xxhash64 must match save_blocked's)
-            buckets = (
-                self.spark.createDataFrame([(w,) for w in words], "term string")
-                .select(F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)).alias("b"))
-                .collect()
-            )
-            blocks = blocks.where(
-                F.col("term_bucket").isin([r["b"] for r in buckets])
-            )
-        doc_stats_idx = self.spark.read.parquet(f"{index_path}/doc_stats_idx")
-        total = doc_stats_idx.count()
+            # hash buckets. Bucket ids come from the driver-side
+            # dictionary when available (zero jobs); otherwise one tiny
+            # job recomputes them (xxhash64 must match save_blocked's).
+            if term_stats is not None and all(
+                term_stats[w][2] is not None for w in words if w in term_stats
+            ):
+                bucket_ids = sorted({term_stats[w][2] for w in words if w in term_stats})
+            else:
+                bucket_ids = sorted(
+                    {
+                        r["b"]
+                        for r in self.spark.createDataFrame(
+                            [(w,) for w in words], "term string"
+                        )
+                        .select(
+                            F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)).alias("b")
+                        )
+                        .collect()
+                    }
+                )
+            if not bucket_ids:
+                return self.spark.createDataFrame([], "url string, score double")
+            blocks = blocks.where(F.col("term_bucket").isin(bucket_ids))
         return blocked_maxscore_topk(
-            self.spark, query, blocks.drop("term_bucket"), doc_stats_idx, total, k=k
+            self.spark, query, blocks.drop("term_bucket"), doc_stats_idx, total,
+            k=k, doc_stats_agg=stats, term_stats=term_stats,
         )
 
     def load(self, path: str, with_pageranks: bool = True) -> "SearchEngine":

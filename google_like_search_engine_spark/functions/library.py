@@ -89,12 +89,21 @@ def clean_text(col) -> Column:
 
 def digit_boundary_tokens(col) -> Column:
     """The digit-boundary tokenizer split (Crawler.java:358) — Spark's
-    split() uses Java regex, so the pattern is verbatim; trailing empty
-    strings are removed to match Java String.split."""
+    split() uses Java regex, so the pattern is verbatim; ONLY trailing
+    empty strings are removed, matching Java String.split(limit=0) and
+    kernels/textclean.java_split (leading/interior empties — e.g. from
+    leading whitespace — are kept, unlike a drop-all-empties filter)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(c, r"\s+|(?<=\d)(?=\D)|(?<=\D)(?=\d)")
-    # Java split(limit=0) drops trailing empties; Spark keeps them.
-    return F.filter(toks, lambda t: t != "")
+    # last non-empty index via an indexed fold; slice keeps everything
+    # up to it (slice length 0 -> empty array when all tokens are empty)
+    idxs = F.sequence(F.lit(1), F.size(toks))
+    last = F.aggregate(
+        F.zip_with(toks, idxs, lambda t, i: F.when(t != "", i).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    return F.slice(toks, F.lit(1), last)
 
 
 def remove_stopwords(col) -> Column:

@@ -38,6 +38,9 @@ QUERIES = {
     "tpch_q3": (c.tpch_q3, c.TPCH_Q3_SQL),
     "tpch_q5": (c.tpch_q5, c.TPCH_Q5_SQL),
     "tpch_q6": (c.tpch_q6, c.TPCH_Q6_SQL),
+    "tpch_q9": (c.tpch_q9, c.TPCH_Q9_SQL),
+    "tpch_q18": (c.tpch_q18, c.TPCH_Q18_SQL),
+    "tpch_q2_style": (c.tpch_q2_style, c.TPCH_Q2_STYLE_SQL),
     # events
     "events_hourly": (c.events_hourly, c.EVENTS_HOURLY_SQL),
     "events_sessions": (c.events_sessions, c.EVENTS_SESSIONS_SQL),

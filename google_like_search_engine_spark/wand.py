@@ -59,6 +59,9 @@ def blocked_maxscore_topk(
     k1: float = 1.2,
     b: float = 0.75,
     use_stems: bool = True,
+    doc_stats_agg: tuple | None = None,
+    term_stats: dict | None = None,
+    small_query_entries: int = 100_000,
 ) -> DataFrame:
     """Exact BM25 top-k over the compressed blocked index
     (compression.block_postings output) with block-level skipping.
@@ -74,31 +77,57 @@ def blocked_maxscore_topk(
        blocks; non-essential terms then decode ONLY blocks whose
        doc-range intersects a candidate block (semi-join on block_id —
        whole blocks skip without touching their bytes).
+
+    ``doc_stats_agg``: optional precomputed (avgdl, min_dl) and
+    ``term_stats``: optional driver-side {term: (df, max_tf)}
+    dictionary — both written by the build as sidecars — together they
+    remove every per-query metadata job. When the matched posting
+    volume (sum of term dfs, known from the dictionary or one metadata
+    scan) is below ``small_query_entries``, the theta-seeding and
+    essential-term machinery is skipped and all matched blocks score in
+    ONE job — pruning can't save more than the extra driver round-trips
+    cost on a small candidate set, and the result is identical either
+    way (MaxScore is exact).
     """
-    from .compression import unblock_postings
+    from .compression import scoring_entries
 
     words = sorted({w.lower() for w in (expand_query(query) if use_stems else query.split())})
     if not words:
         return spark.createDataFrame([], "url string, score double")
     n = float(total_documents)
 
-    stats = doc_stats_idx.agg(
-        F.avg("n_term_entries").alias("avgdl"), F.min("n_term_entries").alias("min_dl")
-    ).collect()[0]
-    avgdl = float(stats["avgdl"] or 1.0)
-    min_dl = float(stats["min_dl"] or 1.0)
+    if doc_stats_agg is not None:
+        avgdl, min_dl = float(doc_stats_agg[0]), float(doc_stats_agg[1])
+    else:
+        stats = doc_stats_idx.agg(
+            F.avg("n_term_entries").alias("avgdl"), F.min("n_term_entries").alias("min_dl")
+        ).collect()[0]
+        avgdl = float(stats["avgdl"] or 1.0)
+        min_dl = float(stats["min_dl"] or 1.0)
 
-    terms = spark.createDataFrame([(w,) for w in words], "term string")
-    qblocks = blocks.join(F.broadcast(terms), "term").persist()
+    # isin (not a broadcast-join with a literal DF): reaches the parquet
+    # scan as PushedFilters In(term, ...) and costs no driver round-trip
+    qblocks = blocks.where(F.col("term").isin(words))
 
-    # (1) term stats from metadata only
-    tstats = (
-        qblocks.groupBy("term")
-        .agg(F.sum("n_docs").alias("df"), F.max("max_tf").alias("max_tf"))
-        .collect()
-    )
+    # (1) term stats: from the build-time dictionary when available
+    # (zero jobs), else one metadata-only aggregation over the pruned
+    # block scan
+    if term_stats is not None:
+        tstats = [
+            {"term": w, "df": term_stats[w][0], "max_tf": term_stats[w][1]}
+            for w in words
+            if w in term_stats
+        ]
+    else:
+        qblocks = qblocks.persist()
+        tstats = (
+            qblocks.groupBy("term")
+            .agg(F.sum("n_docs").alias("df"), F.max("max_tf").alias("max_tf"))
+            .collect()
+        )
     if not tstats:
-        qblocks.unpersist()
+        if qblocks.is_cached:
+            qblocks.unpersist()
         return spark.createDataFrame([], "url string, score double")
 
     def idf(df_):
@@ -111,9 +140,6 @@ def blocked_maxscore_topk(
         for r in tstats
     }
     dfs = {r["term"]: int(r["df"]) for r in tstats}
-    dfc_all = spark.createDataFrame(
-        [(t, dfs[t]) for t in dfs], "term string, df long"
-    )
 
     def _score_col():
         return (
@@ -122,9 +148,70 @@ def blocked_maxscore_topk(
             / (F.col("tf") + k1 * (1 - b + b * F.col("n_term_entries") / F.lit(avgdl)))
         )
 
+    # small-query fast path: total matched entries below the threshold
+    # -> pruning saves less than its driver round-trips cost; score all
+    # matched blocks in ONE job. idf enters as a literal map (no df-join,
+    # no per-query createDataFrame — the single-job shape of the served
+    # path, engine.search_bm25_served).
+    if sum(dfs.values()) <= small_query_entries:
+        idf_map = F.create_map(
+            *[x for t in dfs for x in (F.lit(t), F.lit(idf(dfs[t])))]
+        )
+        entries = scoring_entries(qblocks.where(F.col("term").isin(list(dfs))))
+
+        def _partial(dl_col):
+            return (
+                idf_map[F.col("term")]
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * dl_col / F.lit(avgdl)))
+            )
+
+        if "dl" in entries.columns:
+            # join-free scoring off the denormalized block dls; doc_index
+            # is assigned in url order, so the doc_index tiebreak IS the
+            # url tiebreak — urls are looked up for the k winners only
+            topk = (
+                entries.select("doc_index", _partial(F.col("dl")).alias("partial"))
+                .groupBy("doc_index")
+                .agg(F.sum("partial").alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_index"))
+                .limit(k)
+            )
+            out = (
+                topk.join(doc_stats_idx.select("doc_index", "url"), "doc_index")
+                .select("url", "score")
+                .orderBy(F.desc("score"), F.asc("url"))
+            )
+        else:
+            full = (
+                entries.join(
+                    doc_stats_idx.select("doc_index", "url", "n_term_entries"),
+                    "doc_index",
+                )
+                .select("url", _partial(F.col("n_term_entries")).alias("partial"))
+            )
+            out = (
+                full.groupBy("url")
+                .agg(F.sum("partial").alias("score"))
+                .orderBy(F.desc("score"), F.asc("url"))
+                .limit(k)
+            )
+        if qblocks.is_cached:
+            out = out.localCheckpoint(eager=True)
+            qblocks.unpersist()
+        return out
+
+    dfc_all = spark.createDataFrame(
+        [(t, dfs[t]) for t in dfs], "term string, df long"
+    )
+
+    # big query: the MaxScore path reads qblocks several times — cache it
+    if not qblocks.is_cached:
+        qblocks = qblocks.persist()
+
     # (2) theta from the best term only
     best_term = max(ub, key=ub.get)
-    best_decoded = unblock_postings(qblocks.where(F.col("term") == best_term))
+    best_decoded = scoring_entries(qblocks.where(F.col("term") == best_term))
     scored_best = (
         best_decoded.join(F.broadcast(dfc_all), "term")
         .join(doc_stats_idx.select("doc_index", "n_term_entries"), "doc_index")
@@ -146,7 +233,7 @@ def blocked_maxscore_topk(
             break
 
     ess_terms = spark.createDataFrame([(t,) for t in sorted(essential)], "term string")
-    ess_decoded = unblock_postings(
+    ess_decoded = scoring_entries(
         qblocks.join(F.broadcast(ess_terms), "term")
     ).persist()
     candidates = ess_decoded.select("doc_index").distinct()
@@ -162,7 +249,7 @@ def blocked_maxscore_topk(
         ne_blocks = qblocks.join(F.broadcast(ne_terms), "term").join(
             F.broadcast(cand_blocks), "block_id", "left_semi"
         )
-        decoded = ess_decoded.unionByName(unblock_postings(ne_blocks))
+        decoded = ess_decoded.unionByName(scoring_entries(ne_blocks))
     else:
         decoded = ess_decoded
 
@@ -178,14 +265,25 @@ def blocked_maxscore_topk(
         .orderBy(F.desc("score"), F.asc("url"))
         .limit(k)
     )
-    rows = out.collect()
+    # materialize executor-side (k rows) so the persisted inputs can be
+    # released without the caller's later action recomputing them; no
+    # driver round-trip (the old collect + createDataFrame).
+    out = out.localCheckpoint(eager=True)
     qblocks.unpersist()
     ess_decoded.unpersist()
-    return spark.createDataFrame(rows, "url string, score double") if rows else out
+    return out
 
 
 def _block_span(blocks: DataFrame) -> int:
-    """Recover the block span from metadata (base = block_id * span)."""
+    """Block span: read the persisted ``span`` metadata column
+    (compression.block_postings writes it on every row). Falls back to
+    inferring base/block_id for pre-span-column indexes, then to the
+    build default — the old inference alone silently mis-sized spans
+    on single-block indexes built with a non-default span."""
+    if "span" in blocks.columns:
+        r = blocks.select("span").limit(1).collect()
+        if r:
+            return int(r[0]["span"])
     r = (
         blocks.where(F.col("block_id") > 0)
         .select((F.col("base") / F.col("block_id")).cast("long").alias("span"))

@@ -28,7 +28,12 @@ def main():
     from google_like_search_engine_spark.session import get_spark
 
     spark = get_spark("query_index")
-    eng = SearchEngine(spark).load(args.index)
+    eng = SearchEngine(spark)
+    if args.scorer != "bm25-blocked":
+        # the blocked scorer reads only the self-contained blocked
+        # layout; loading the flat postings for it would add ~30 s of
+        # needless cold I/O
+        eng.load(args.index)
     t0 = time.perf_counter()
     if args.scorer == "tfidf":
         res = eng.search(args.query, k=args.k)

@@ -171,3 +171,58 @@ def test_multimodal_frame_sampling(spark):
     for idxs in by_asset.values():
         assert idxs == sorted(idxs)
         assert all(i % 5 == 0 for i in idxs)
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    """Oversized band buckets are skipped: a cluster of identical docs
+    lands in one bucket per band; capping below the cluster size must
+    drop the quadratic within-bucket join entirely."""
+    docs = spark.createDataFrame(
+        [(i, "same exact text repeated for everyone here") for i in range(12)],
+        "id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs)
+    capped = dedup.minhash_lsh_pairs(sigs, max_bucket_size=5).collect()
+    assert capped == []
+    uncapped = dedup.minhash_lsh_pairs(sigs, max_bucket_size=1000).collect()
+    assert len(uncapped) == 12 * 11 // 2
+
+
+def test_minhash_dedup_signature_verify(spark):
+    """Verification runs on shingle-hash sets (no full-text reship) and
+    still yields exact Jaccard: near-dups pass, disjoint docs don't."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                      # identical -> jaccard 1.0
+            (2, base + " with a small suffix change"),
+            (3, "completely different content about spark shuffles and joins"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_dedup(docs, jaccard_threshold=0.3).collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert 0.3 <= got[(0, 2)] < 1.0 and 0.3 <= got[(1, 2)] < 1.0
+    assert not any(3 in k for k in got)
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path):
+    """A boilerplate shingle shared by every doc must not explode the
+    pair join: above SHINGLE_DF_CAP it is excluded, leaving only pairs
+    that share rare shingles."""
+    from google_like_search_engine_spark import catalog_text as t
+
+    n = t.SHINGLE_DF_CAP + 50
+    boiler = "all rights reserved worldwide"  # 4 tokens -> 2 shared shingles
+    rows = [(i, f"{boiler} unique{i} tail{i} words{i} here{i}") for i in range(n)]
+    rows.append((n, rows[0][1]))  # one true near-dup pair via rare shingles
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = t.ngram_jaccard(spark, str(tmp_path)).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert got == {(0, n)}  # boilerplate-only pairs all pruned

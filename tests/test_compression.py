@@ -82,3 +82,40 @@ def test_block_postings_spark_roundtrip(spark):
     raw_bytes = sum(4 + 4 + 4 * len(v[1]) for v in orig.values())
     packed = sum(len(bytes(b["block"])) for b in blocks.collect())
     assert packed < raw_bytes
+
+
+def test_block_postings_one_row_per_key_across_arrow_batches(spark):
+    """A (term, block_id) group larger than the Arrow batch size
+    (spark.sql.execution.arrow.maxRecordsPerBatch = 10000) must still
+    encode to exactly ONE block row — regression for the encoder
+    emitting duplicate rows when a group straddled a batch boundary."""
+    n = 12001
+    pidx = spark.range(n).select(
+        F.lit("hot").alias("term"),
+        F.col("id").alias("doc_index"),
+        F.lit(1).alias("tf"),
+        F.array(F.lit(1)).alias("positions"),
+    )
+    blocks = block_postings(pidx, block_span=16384).collect()
+    assert len(blocks) == 1
+    b = blocks[0]
+    assert b["n_docs"] == n and b["span"] == 16384 and b["block_id"] == 0
+    d, t, p = decode_block(bytes(b["block"]), base=0)
+    assert d == list(range(n)) and t == [1] * n
+
+
+def test_assign_doc_indexes_dense_and_deterministic(spark):
+    """Arrow two-phase numbering: dense 0..N-1 in doc_id sort order,
+    stable across repeated runs, duplicates collapsed."""
+    ids = [f"doc{i:05d}" for i in range(3000)]
+    import random as _r
+
+    shuffled = ids[:]
+    _r.Random(3).shuffle(shuffled)
+    docs = spark.createDataFrame(
+        [(d,) for d in shuffled + shuffled[:100]], "doc_id string"
+    )
+    got = {r["doc_id"]: r["doc_index"] for r in assign_doc_indexes(docs).collect()}
+    assert got == {d: i for i, d in enumerate(ids)}
+    got2 = {r["doc_id"]: r["doc_index"] for r in assign_doc_indexes(docs).collect()}
+    assert got2 == got
