@@ -177,6 +177,34 @@ FROM a FULL OUTER JOIN b ON a.k = b.k
 """
 
 
+def flame_flatmaptopair(spark, sf_dir):
+    """FlameRDD.flatMapToPair (flame/Worker.java:77-133): one row ->
+    many (k, v) pairs; here each document emits a language pair and a
+    length-bucket pair."""
+    d = load(spark, sf_dir, "documents")
+    v = F.col("doc_id").cast("string")
+    pairs = F.array(
+        F.struct(F.col("lang").alias("k"), v.alias("v")),
+        F.struct(
+            F.concat(
+                F.lit("len_"),
+                F.floor(F.length("text") / 1000).cast("int").cast("string"),
+            ).alias("k"),
+            v.alias("v"),
+        ),
+    )
+    return flame.flat_map_to_pair(d, pairs)
+
+
+FLAME_FLATMAPTOPAIR_SQL = """
+SELECT lang AS k, CAST(doc_id AS VARCHAR) AS v FROM documents
+UNION ALL
+SELECT 'len_' || CAST(CAST(floor(length(text) / 1000.0) AS INT) AS VARCHAR),
+       CAST(doc_id AS VARCHAR)
+FROM documents
+"""
+
+
 def flame_take(spark, sf_dir):
     """FlameRDD.take (FlameRDDImpl.java:78-95) — made deterministic with
     an explicit order (the reference allows any subset)."""

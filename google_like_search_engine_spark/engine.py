@@ -290,6 +290,19 @@ class SearchEngine:
             self.total_documents, avgdl=self._avgdl, term_df=self.term_df,
         ).limit(k)
 
+    def autocomplete(self, prefix: str, k: int = 10) -> DataFrame:
+        """Prefix completion over the build-time term dictionary,
+        ranked by document frequency — the reference loads every
+        pt-index key into RAM for this (RankerStarter.java:38-42); here
+        the dictionary is a persisted relation and the StartsWith
+        filter pushes down to its scan."""
+        assert self.term_df is not None, "build or load first"
+        return (
+            self.term_df.where(F.col("term").startswith(prefix.lower()))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     # -- low-latency serving path ------------------------------------------
 
     DICT_CAP = 2_000_000  # max dictionary entries held driver-side

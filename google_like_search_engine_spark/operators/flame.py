@@ -49,6 +49,22 @@ def map_to_pair(df: DataFrame, k_expr, v_expr) -> DataFrame:
     return df.select(k_expr.alias("k"), v_expr.alias("v"))
 
 
+def flat_map_to_pair(df: DataFrame, pairs_array_expr) -> DataFrame:
+    """FlameRDD.flatMapToPair / FlamePairRDD.flatMapToPair
+    (flame/Worker.java:77-133, 439-505): per-row expansion into (k, v)
+    pairs. ``pairs_array_expr`` is a Column producing
+    array<struct<k string, v string>> — explode-over-structs, the
+    pattern the indexer/wordcount pipelines inline
+    (catalog_text.py wordcount, indexer.build_postings).
+
+    NOTE the reference's PairRDD variant silently DROPS pairs whose key
+    contains a space (Worker.java row-key encoding); that bug is
+    intentionally NOT reproduced — SURVEY section 2.1 adjudicates it as
+    an encoding artifact, not semantics."""
+    e = F.explode(pairs_array_expr).alias("p")
+    return df.select(e).select(F.col("p.k").alias("k"), F.col("p.v").alias("v"))
+
+
 def distinct(df: DataFrame) -> DataFrame:
     """FlameRDD.distinct (flame/Worker.java:507-537): value-as-row-key
     dedupe == hash-shuffle distinct."""

@@ -24,6 +24,7 @@ QUERIES = {
     "flame_intersection": (c.flame_intersection, c.FLAME_INTERSECTION_SQL),
     "flame_join": (c.flame_join, c.FLAME_JOIN_SQL),
     "flame_cogroup": (c.flame_cogroup, c.FLAME_COGROUP_SQL),
+    "flame_flatmaptopair": (c.flame_flatmaptopair, c.FLAME_FLATMAPTOPAIR_SQL),
     "flame_take": (c.flame_take, c.FLAME_TAKE_SQL),
     # set ops / rollup / pivot / window
     "setop_union": (c.setop_union, c.SETOP_UNION_SQL),

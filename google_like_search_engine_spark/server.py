@@ -1,0 +1,84 @@
+"""HTTP serving surface: the reference's search frontend, Spark-backed.
+
+The reference serves ``GET /search?query=...`` from a hand-rolled
+webserver (RankerStarter.java:81-98, webserver/, frontend/); this
+module is the equivalent long-lived endpoint over a built
+``SearchEngine``. The Spark driver hosts the HTTP threads; queries run
+on the pinned serving state (engine.enable_serving's single-job BM25
+plan) so a request is one Spark job.
+
+Routes (all JSON):
+  GET /search?query=...&k=10[&scorer=bm25|tfidf]   ranked results
+  GET /autocomplete?prefix=...&k=10                dictionary prefix scan
+  GET /health                                      liveness + corpus size
+
+Run: ``python scripts/serve.py --index <dir> --port 8080``.
+"""
+
+from __future__ import annotations
+
+import json
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+
+def make_server(engine, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; caller runs serve_forever()."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # quiet: the driver log is enough
+            pass
+
+        def _json(self, code: int, payload) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 (stdlib API name)
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            try:
+                if u.path == "/health":
+                    self._json(200, {"ok": True, "documents": engine.total_documents})
+                elif u.path == "/search":
+                    query = q.get("query", "")
+                    if not query:
+                        self._json(400, {"error": "missing ?query="})
+                        return
+                    k = min(int(q.get("k", "10")), 100)
+                    if q.get("scorer") == "tfidf":
+                        res = engine.search(query, k=k)
+                        rows = [
+                            {"url": r["url"], "score": float(r["score"])}
+                            for r in res.collect()
+                        ]
+                    else:
+                        if getattr(engine, "_served", None) is not None:
+                            res = engine.search_bm25_served(query, k=k)
+                        else:
+                            res = engine.search_bm25(query, k=k)
+                        rows = [
+                            {"url": r["url"], "score": float(r["score"])}
+                            for r in res.collect()
+                        ]
+                    self._json(200, {"query": query, "results": rows})
+                elif u.path == "/autocomplete":
+                    prefix = q.get("prefix", "")
+                    if not prefix:
+                        self._json(400, {"error": "missing ?prefix="})
+                        return
+                    k = min(int(q.get("k", "10")), 100)
+                    rows = [
+                        {"term": r["term"], "df": int(r["df"])}
+                        for r in engine.autocomplete(prefix, k=k).collect()
+                    ]
+                    self._json(200, {"prefix": prefix, "completions": rows})
+                else:
+                    self._json(404, {"error": f"no route {u.path}"})
+            except Exception as exc:  # surface engine errors as 500 JSON
+                self._json(500, {"error": str(exc)})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,48 @@
+#!/usr/bin/env python
+"""spark-submit entry point: serve a built index over HTTP.
+
+  python scripts/serve.py --index /path/to/index [--port 8080] [--host 0.0.0.0]
+
+Routes: /search?query=...  /autocomplete?prefix=...  /health
+(the reference's RankerStarter webserver, Spark-backed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    args = ap.parse_args()
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.server import make_server
+    from google_like_search_engine_spark.session import get_spark
+
+    spark = get_spark("serve")
+    eng = SearchEngine(spark).load(args.index)
+    served = eng.enable_serving()
+    print(f"index loaded: {eng.total_documents} docs; "
+          f"served path {'ON (single-job BM25)' if served else 'off (dictionary over cap)'}")
+    srv = make_server(eng, args.host, args.port)
+    print(f"serving on http://{args.host}:{args.port}  "
+          f"(/search?query=  /autocomplete?prefix=  /health)")
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.shutdown()
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

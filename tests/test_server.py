@@ -1,0 +1,77 @@
+"""HTTP serving surface (the RankerStarter /search analog) + the
+dictionary-backed autocomplete API."""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+from pyspark.sql import functions as F
+
+from google_like_search_engine_spark.corpus import generate_pages
+from google_like_search_engine_spark.engine import SearchEngine
+from google_like_search_engine_spark.server import make_server
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    pages = generate_pages(spark, 120).where(F.col("lang") == "en")
+    eng = SearchEngine(spark).build(pages, run_pagerank=False)
+    assert eng.enable_serving()
+    yield eng
+    eng.unpersist()
+
+
+@pytest.fixture(scope="module")
+def base_url(engine):
+    srv = make_server(engine, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_health(base_url, engine):
+    code, body = _get(f"{base_url}/health")
+    assert code == 200 and body["ok"] and body["documents"] == engine.total_documents
+
+
+def test_search_matches_engine(base_url, engine):
+    code, body = _get(f"{base_url}/search?query=search+engine+index&k=5")
+    assert code == 200
+    direct = [
+        (r["url"], float(r["score"]))
+        for r in engine.search_bm25_served("search engine index", k=5).collect()
+    ]
+    assert [(r["url"], r["score"]) for r in body["results"]] == direct
+
+
+def test_autocomplete_served_from_dictionary(base_url, engine):
+    code, body = _get(f"{base_url}/autocomplete?prefix=se&k=5")
+    assert code == 200
+    terms = [c["term"] for c in body["completions"]]
+    assert terms and all(t.startswith("se") for t in terms)
+    # agrees with the dictionary relation itself
+    direct = [r["term"] for r in engine.autocomplete("se", k=5).collect()]
+    assert terms == direct
+
+
+def test_search_missing_query_is_400(base_url):
+    try:
+        urllib.request.urlopen(f"{base_url}/search", timeout=60)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_unknown_route_is_404(base_url):
+    try:
+        urllib.request.urlopen(f"{base_url}/nope", timeout=60)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
