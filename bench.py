@@ -136,6 +136,18 @@ def main():
         for q in qset:
             dt, _ = timed(lambda q=q: eng.search_bm25_served(q, k=10).collect())
             lat_served.append(dt * 1000)
+    # blocked on-disk serving layout: build once, then query latency
+    # through the sidecar-dictionary single-job path
+    eng.save_blocked("/tmp/bench_blocked")
+    eng.search_bm25_blocked("/tmp/bench_blocked", "warm up", k=10).collect()
+    eng.search_bm25_blocked("/tmp/bench_blocked", qset[0], k=10).collect()
+    lat_blocked = []
+    for q in qset:
+        dt, _ = timed(
+            lambda q=q: eng.search_bm25_blocked("/tmp/bench_blocked", q, k=10).collect()
+        )
+        lat_blocked.append(dt * 1000)
+
     postings.unpersist()
     doc_stats.unpersist()
     term_df.unpersist()
@@ -163,6 +175,10 @@ def main():
                     sorted(lat_served)[max(0, int(len(lat_served) * 0.95) - 1)], 1
                 )
                 if lat_served else None,
+                "bm25_blocked_p50_ms": round(statistics.median(lat_blocked), 1),
+                "bm25_blocked_p95_ms": round(
+                    sorted(lat_blocked)[max(0, int(len(lat_blocked) * 0.95) - 1)], 1
+                ),
             }
         )
     )

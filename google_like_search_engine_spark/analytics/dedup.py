@@ -103,29 +103,26 @@ def minhash_lsh_pairs(
     better-distributed bands); at cluster scale route them to an
     explicit cluster-collapse pass (they ARE a duplicate cluster)."""
     n = bands
-    sig = signatures
     rows_per = F.size("sig") / n
-    band_frames = []
-    for b in range(n):
-        band_frames.append(
-            sig.select(
-                "id",
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            F.col("sig"),
-                            (rows_per * b + 1).cast("int"),
-                            rows_per.cast("int"),
-                        ).cast("array<string>"),
-                    ).cast("binary")
-                ).alias("bkey"),
-            )
+
+    def _bkey(b):
+        return F.md5(
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.col("sig"),
+                    (rows_per * b + 1).cast("int"),
+                    rows_per.cast("int"),
+                ).cast("array<string>"),
+            ).cast("binary")
         )
-    all_bands = band_frames[0]
-    for bf in band_frames[1:]:
-        all_bands = all_bands.unionAll(bf)
+
+    band_structs = F.array(
+        *[F.struct(F.lit(b).alias("band"), _bkey(b).alias("bkey")) for b in range(n)]
+    )
+    all_bands = signatures.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     bucket_ok = (
         all_bands.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("bucket_n"))
@@ -234,15 +231,24 @@ def simhash_near_pairs(
         )
     width = 64 // n_bands
     mask = (1 << width) - 1
-    bands = None
-    for b in range(n_bands):
-        band = signatures.select(
-            "id",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned("simhash", width * b).bitwiseAND(F.lit(mask)).alias("bkey"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    # signatures come from an Arrow pass — persist so the band derivation
+    # and both self-join sides don't re-run it; bands via one explode,
+    # not an n_bands-branch union (each branch re-evaluates its input)
+    signatures = signatures.persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("simhash", width * b)
+                .bitwiseAND(F.lit(mask))
+                .alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = signatures.select(
+        "id", "simhash", F.explode(band_structs).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a, b_ = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

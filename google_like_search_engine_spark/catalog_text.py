@@ -272,15 +272,23 @@ def dedup_minhash(spark, sf_dir):
         F.min(F.md5(F.encode(F.concat(F.lit(f"{i}:"), F.col("sh")), "utf-8"))).alias(f"m{i}")
         for i in range(8)
     ]
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    bands = None
-    for b in range(4):
-        band = sig.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("bkey"),
-        )
-        bands = band if bands is None else bands.unionAll(band)
+    # the signature aggregation (8 md5 min-hashes over every shingle) is
+    # the expensive pass and feeds the band filter AND both self-join
+    # sides — persist it, and derive the 4 band rows with one explode
+    # instead of a 4-branch union (each branch would re-run the plan)
+    sig = sh.groupBy("doc_id").agg(*aggs).persist()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(F.col(f"m{2*b}"), F.col(f"m{2*b+1}")).alias("bkey"),
+            )
+            for b in range(4)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
     bucket_ok = (
         bands.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -68,6 +68,52 @@ class SearchEngine:
             ).persist()
         return self
 
+    def merge_pages(self, pages_delta: DataFrame) -> "SearchEngine":
+        """MERGE a delta of (re-)crawled pages into the built index —
+        the batch form of the reference's read-modify-write index
+        appends (Indexer.java:132-147; with Iceberg this is a literal
+        MERGE INTO postings USING delta ON doc_id). Re-crawled docs
+        REPLACE their old postings (anti-join on doc_id) rather than
+        accumulating them, i.e. the compacted semantics the streaming
+        twin's compact_index applies after append (streaming/
+        index_stream.py). Derived state (doc_stats, term_df, avgdl) is
+        recomputed; PageRank is NOT re-run (call build for that).
+        """
+        assert self.postings is not None, "build first"
+        delta_docs = docs_from_pages(pages_delta)
+        delta_postings = build_postings(delta_docs)
+        delta_ids = delta_postings.select("doc_id").distinct()
+        old = self.postings
+        merged = (
+            old.join(delta_ids, "doc_id", "left_anti")
+            .unionByName(delta_postings)
+            .persist()
+        )
+        self.postings = merged
+        self.doc_stats = (
+            merged.groupBy("doc_id", "url")
+            .agg(F.sum("tf").alias("n_term_entries"))
+            .persist()
+        )
+        self.total_documents = self.doc_stats.count()
+        self._avgdl = float(
+            self.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0] or 1.0
+        )
+        if self.term_df is not None:
+            self.term_df.unpersist()
+        self.term_df = (
+            merged.groupBy("term")
+            .agg(F.countDistinct("doc_id").alias("df"))
+            .persist()
+        )
+        self.term_df.count()
+        old.unpersist()
+        if getattr(self, "_served", None) is not None:  # serving state is stale
+            self._served.unpersist()
+            self._served = None
+            self._dict = None
+        return self
+
     def save(self, path: str) -> None:
         assert self.postings is not None, "build first"
         self.postings.write.mode("overwrite").parquet(f"{path}/postings")
@@ -244,6 +290,34 @@ class SearchEngine:
         return blocked_maxscore_topk(
             self.spark, query, blocks.drop("term_bucket"), doc_stats_idx, total,
             k=k, doc_stats_agg=stats, term_stats=term_stats,
+        )
+
+    def search_phrase_blocked(self, index_path: str, phrase: str, k: int = 10) -> DataFrame:
+        """Exact positional phrase query off the blocked index's varint
+        positions store (wand.blocked_phrase_topk). Term-bucket
+        partition pruning applies exactly as for BM25; with the
+        dictionary sidecar a phrase word absent from the corpus
+        short-circuits to an empty result with zero jobs."""
+        from .wand import blocked_phrase_topk
+
+        blocks, doc_stats_idx, _total, _stats, term_stats = self._blocked_handles(
+            index_path
+        )
+        words = [w.lower() for w in phrase.split() if w]
+        if not words:
+            return self.spark.createDataFrame([], "url string, n_occurrences long")
+        if term_stats is not None:
+            if any(w not in term_stats for w in words):
+                return self.spark.createDataFrame(
+                    [], "url string, n_occurrences long"
+                )
+            buckets = sorted(
+                {term_stats[w][2] for w in words if term_stats[w][2] is not None}
+            )
+            if buckets:
+                blocks = blocks.where(F.col("term_bucket").isin(buckets))
+        return blocked_phrase_topk(
+            self.spark, phrase, blocks.drop("term_bucket"), doc_stats_idx, k=k
         )
 
     def load(self, path: str, with_pageranks: bool = True) -> "SearchEngine":

@@ -69,6 +69,42 @@ QUERIES = {
 }
 
 
+def _phrase_search_blocked(spark, sf_dir):
+    """The same positional phrase query as phrase_search, but answered
+    from the compressed blocked index's varint positions store
+    (encode -> metadata block-intersection -> decode -> adjacency),
+    checked against the identical relational oracle. The documents
+    table has no blank/punct tokens, so the index's blank-counting
+    1-based positions coincide with the oracle's non-empty renumbering."""
+    from .compression import assign_doc_indexes, block_postings
+    from .indexer import build_postings
+    from .wand import blocked_phrase_topk
+
+    docs = c.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+    )
+    postings = build_postings(docs)
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(F.broadcast(idx), "doc_id"))
+    dsi = (
+        postings.groupBy("doc_id", "url")
+        .agg(F.sum("tf").alias("n_term_entries"))
+        .join(F.broadcast(idx), "doc_id")
+        .select("doc_index", "url", "n_term_entries")
+    )
+    out = blocked_phrase_topk(
+        spark, " ".join(t.PHRASE), blocks, dsi, k=1_000_000
+    )
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"), "n_occurrences"
+    )
+
+
+QUERIES["phrase_search_blocked"] = (_phrase_search_blocked, t.PHRASE_SEARCH_SQL)
+
+
 def _pagerank_docs(spark, sf_dir):
     """Iterative PageRank over a deterministic synthetic doc graph
     (edges i -> (2i+7) mod N and i -> (3i+11) mod N). Non-SQL-expressible
@@ -178,7 +214,23 @@ def _bm25_maxscore_topk(spark, sf_dir):
     return out.select("url", F.round("score", 4).alias("score"))
 
 
+def _crawl_bfs(spark, sf_dir):
+    """Frontier-BFS crawl of the deterministic synthetic link graph
+    (crawler.crawl: fetch-join + link-extraction kernels + per-round
+    checkpoint). Iterative with filesystem state -> rows-only check;
+    convergence and resume semantics are pinned by tests/test_crawler.py."""
+    import tempfile
+
+    from .corpus import generate_pages, url_for
+    from .crawler import crawl
+
+    pages = generate_pages(spark, 200)
+    state = tempfile.mkdtemp(prefix="spark_graft_crawl_")
+    return crawl(spark, pages, [url_for(0)], state, max_rounds=100)
+
+
 NO_ORACLE_QUERIES = {
+    "crawl_bfs": _crawl_bfs,
     "pagerank_docs": _pagerank_docs,
     "search_pipeline": _search_pipeline,
     "lsh_cosine_topk": _lsh_cosine_topk,

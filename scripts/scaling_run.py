@@ -131,9 +131,9 @@ Notes: single-machine local mode shares one JVM heap, page cache and
 shuffle disk, so this under-reports multi-node scaling for this
 build: the map side (scan -> Arrow-batched tokenize/stem) has no
 cross-task structure at all, and the wide stages are (a) the dense
-doc-index sort+zipWithIndex and (b) the (term, doc-range-block)
-exchange, where a head term spreads over ceil(N/8192) reducers — no
-single-reducer funnel anywhere.
+doc-index range-exchange (Arrow two-phase numbering, no RDD) and (b)
+the (term, doc-range-block) exchange, where a head term spreads over
+ceil(N/8192) reducers — no single-reducer funnel anywhere.
 Regenerate: `python scripts/scaling_run.py {n_low} {lo['n_docs']}`.
 
 ## Reference baseline

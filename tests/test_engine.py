@@ -66,3 +66,51 @@ def test_engine_blocked_index_path(spark, tmp_path):
     df = eng.search_bm25_blocked(path, "search", k=3)
     assert df.collect() is not None
     eng.unpersist()
+
+
+def test_merge_pages_replaces_and_appends(spark):
+    """MERGE semantics: a delta of re-crawled + new pages yields exactly
+    the index a from-scratch build over the merged corpus produces."""
+    from google_like_search_engine_spark.corpus import generate_pages
+    from pyspark.sql import functions as F
+
+    base = generate_pages(spark, 60).where(F.col("lang") == "en")
+    # delta: 10 re-crawled pages with changed text + 20 brand-new pages
+    recrawled = (
+        generate_pages(spark, 10)
+        .where(F.col("lang") == "en")
+        .withColumn("text", F.concat(F.col("text"), F.lit(" freshly recrawled words")))
+    )
+    new = generate_pages(spark, 80).where(
+        (F.col("lang") == "en") & (F.col("url").rlike("page(6[0-9]|7[0-9])\\.html$"))
+    )
+    delta = recrawled.unionByName(new)
+
+    eng = SearchEngine(spark).build(base, run_pagerank=False).merge_pages(delta)
+
+    full_corpus = (
+        base.join(recrawled.select("url"), "url", "left_anti")
+        .unionByName(recrawled)
+        .unionByName(new)
+    )
+    ref = SearchEngine(spark).build(full_corpus, run_pagerank=False)
+
+    got = {
+        (r["term"], r["doc_id"]): (r["tf"], tuple(r["positions"]))
+        for r in eng.postings.collect()
+    }
+    want = {
+        (r["term"], r["doc_id"]): (r["tf"], tuple(r["positions"]))
+        for r in ref.postings.collect()
+    }
+    assert got == want
+    assert eng.total_documents == ref.total_documents
+
+    q = "search engine index"
+    assert [
+        (r["url"], round(r["score"], 6)) for r in eng.search_bm25(q, k=10).collect()
+    ] == [
+        (r["url"], round(r["score"], 6)) for r in ref.search_bm25(q, k=10).collect()
+    ]
+    eng.unpersist()
+    ref.unpersist()
