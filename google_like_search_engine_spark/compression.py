@@ -164,7 +164,11 @@ BLOCKS_SCHEMA = (
 BLOCK_SPAN = 8192
 
 
-def block_postings(postings_idx: DataFrame, block_span: int = BLOCK_SPAN) -> DataFrame:
+def block_postings(
+    postings_idx: DataFrame,
+    block_span: int = BLOCK_SPAN,
+    num_partitions: int | None = None,
+) -> DataFrame:
     """(term, doc_index, tf, positions) -> compressed posting blocks.
 
     Blocks are aligned to *doc-index ranges* (block_id = doc_index //
@@ -251,9 +255,16 @@ def block_postings(postings_idx: DataFrame, block_span: int = BLOCK_SPAN) -> Dat
             yield pd.DataFrame([emit(pending)], columns=cols)
 
     # exchange on (term, block_id), then sort within partitions so each
-    # group is contiguous for the streaming encoder above.
+    # group is contiguous for the streaming encoder above. The partition
+    # count is pinned EXPLICITLY: a bare repartition(cols) is
+    # AQE-coalescible, and the 64 MB advisory target collapses the
+    # encode stage to a handful of Python workers regardless of core
+    # count — the encoder is CPU-bound (varint loops), not bytes-bound,
+    # so parallelism must track cores, not shuffle bytes.
+    spark = postings_idx.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
-        with_block.repartition("term", "block_id")
+        with_block.repartition(n, "term", "block_id")
         .sortWithinPartitions("term", "block_id")
         .mapInPandas(encode, schema=out_schema)
     )

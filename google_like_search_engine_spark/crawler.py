@@ -28,7 +28,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-VISITED_SCHEMA = "url string, depth int, status string"
+VISITED_SCHEMA = "url string, depth int, status string, content_hash string"
 FRONTIER_SCHEMA = "url string, depth int"
 
 
@@ -100,19 +100,41 @@ def crawl(
     state_dir: str,
     max_rounds: int = 50,
     max_per_host: int | None = None,
+    host_page_cap: int | None = None,
+    blacklist: list | None = None,
+    dedup_content: bool = False,
+    max_frontier: int | None = None,
 ) -> DataFrame:
     """BFS crawl of ``pages`` from ``seeds``; returns the visited table
-    (url, depth, status) and leaves a resumable checkpoint per round
-    under ``state_dir``.
+    (url, depth, status, content_hash) and leaves a resumable checkpoint
+    per round under ``state_dir``.
 
     Re-invoking with the same ``state_dir`` resumes after the last
     complete round (finished rounds are never re-fetched); a crawl that
     already converged returns the final visited table immediately.
 
-    ``max_per_host``: optional per-round cap of frontier urls per host —
-    the batch analog of the reference's per-host politeness delay
-    (Crawler.java's robots/politeness gate), bounding skew from link
-    farms concentrated on one host.
+    Crawl-control knobs (the reference's gates, batch-shaped):
+    - ``max_per_host``: per-ROUND cap of frontier urls per host — the
+      batch analog of the per-host politeness delay (Crawler.java:
+      522-534); excess urls defer to later rounds (lossless).
+    - ``host_page_cap``: CUMULATIVE cap of fetched pages per host
+      (Crawler.java:85-93 caps standard hosts at 200/25,000); once a
+      host reaches it, its remaining frontier lands in visited as
+      ``host_capped`` and is never fetched. Enforced at round
+      granularity (a burst within one round may overshoot — the
+      reference's per-fetch check is serial; a batch engine checks per
+      superstep).
+    - ``blacklist``: regex list; matching outlinks are discarded before
+      they enter the frontier (Crawler.java:683-754).
+    - ``dedup_content``: content-seen gate (Crawler.java:497-510) — a
+      fetched page whose text hash was already fetched is recorded as
+      ``dup_content`` and contributes no outlinks.
+    - ``max_frontier``: frontier size cap with deterministic pruning
+      (keep the (depth, url)-first ``max_frontier`` rows; the reference
+      prunes its frontier at 1000 by keeping a random 10%,
+      Crawler.java:78, 412-437 — deterministic-keep is a strengthening).
+
+    Statuses: ok | missing | host_capped | dup_content.
     """
     last = _last_complete_round(spark, state_dir)
     if last is None:
@@ -127,13 +149,13 @@ def crawl(
         start = last + 1
 
     web = pages.select("url", "text")
+    host = F.parse_url("url", F.lit("HOST"))
     for r in range(start, start + max_rounds):
         if frontier.isEmpty():
             break
         if max_per_host is not None:
             from pyspark.sql import Window as W
 
-            host = F.parse_url("url", F.lit("HOST"))
             w = W.partitionBy(host).orderBy("depth", "url")
             capped = frontier.withColumn("rn", F.row_number().over(w))
             deferred = capped.where(F.col("rn") > max_per_host).drop("rn")
@@ -142,13 +164,82 @@ def crawl(
             deferred = None
             frontier_now = frontier
 
+        host_capped = None
+        if host_page_cap is not None:
+            full_hosts = (
+                visited.where(F.col("status") == "ok")
+                .groupBy(host.alias("h"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") >= host_page_cap)
+                .select("h")
+            )
+            host_capped = frontier_now.join(
+                full_hosts, host == F.col("h"), "left_semi"
+            )
+            frontier_now = frontier_now.join(
+                full_hosts, host == F.col("h"), "left_anti"
+            )
+
         fetched = frontier_now.join(web, "url")  # the "HTTP GET" of the round
         missing = frontier_now.join(web, "url", "left_anti")
+
+        dup = None
+        if dedup_content:
+            from pyspark.sql import Window as W
+
+            hashed = fetched.withColumn(
+                "content_hash", F.md5(F.encode("text", "utf-8"))
+            )
+            # cumulative content-seen set = hashes of already-fetched
+            # pages; within the round, the url-first page per hash wins
+            seen = (
+                visited.where(F.col("content_hash").isNotNull())
+                .select("content_hash")
+                .distinct()
+            )
+            w = W.partitionBy("content_hash").orderBy("url")
+            hashed = hashed.withColumn("rn", F.row_number().over(w))
+            fetched = (
+                hashed.where(F.col("rn") == 1)
+                .join(seen, "content_hash", "left_anti")
+                .drop("rn")
+            )
+            dup = hashed.where(F.col("rn") > 1).drop("rn").unionByName(
+                hashed.where(F.col("rn") == 1)
+                .join(seen, "content_hash", "left_semi")
+                .drop("rn")
+            )
+        else:
+            fetched = fetched.withColumn("content_hash", F.lit(None).cast("string"))
+
         outlinks = _extract_outlinks(fetched)
+        if blacklist:
+            for pat in blacklist:
+                outlinks = outlinks.where(~F.col("url").rlike(pat))
 
         new_visited = visited.unionByName(
-            fetched.select("url", "depth", F.lit("ok").alias("status"))
-        ).unionByName(missing.select("url", "depth", F.lit("missing").alias("status")))
+            fetched.select("url", "depth", F.lit("ok").alias("status"), "content_hash")
+        ).unionByName(
+            missing.select(
+                "url", "depth", F.lit("missing").alias("status"),
+                F.lit(None).cast("string").alias("content_hash"),
+            )
+        )
+        if dup is not None:
+            new_visited = new_visited.unionByName(
+                dup.select(
+                    "url", "depth", F.lit("dup_content").alias("status"),
+                    "content_hash",
+                )
+            )
+        if host_capped is not None:
+            new_visited = new_visited.unionByName(
+                host_capped.select(
+                    "url", "depth", F.lit("host_capped").alias("status"),
+                    F.lit(None).cast("string").alias("content_hash"),
+                )
+            )
+
         new_frontier = (
             outlinks.join(new_visited.select("url"), "url", "left_anti")
         )
@@ -159,6 +250,8 @@ def crawl(
                 .agg(F.min("depth").alias("depth"))
                 .join(new_visited.select("url"), "url", "left_anti")
             )
+        if max_frontier is not None:
+            new_frontier = new_frontier.orderBy("depth", "url").limit(max_frontier)
 
         # pt-url-style checkpoint: both tables land, then the round is
         # marked complete; re-reading from parquet also cuts the

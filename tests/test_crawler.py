@@ -70,3 +70,78 @@ def test_crawl_per_host_cap_still_converges(spark, pages, expected_bfs, tmp_path
     )
     # politeness defers fetches (depths may grow) but never loses urls
     assert {r["url"] for r in visited.collect()} == set(expected_bfs)
+
+
+def _mini_web(spark):
+    """Hand-built site: a -> b,c ; b and c are byte-identical pages
+    (same body, same anchor to d) ; d and e are leaves, e only linked
+    from the never-crawled dup. Anchor tags live in the text column, as
+    the corpus generator does."""
+
+    def page(path, body, *links):
+        # explicit :80 — the reference URL normalizer emits explicit
+        # ports, and fetches join on the exact normalized string
+        anchors = "".join(f' <a href="http://site.com:80/{l}.html"></a>' for l in links)
+        return (f"http://site.com:80/{path}.html", body + anchors)
+
+    rows = [
+        page("a", "root page body", "b", "c"),
+        page("b", "shared body text", "d"),
+        page("c", "shared body text", "d"),   # byte-identical to b
+        page("d", "leaf one"),
+        page("e", "leaf two"),                # unlinked
+    ]
+    return spark.createDataFrame(rows, "url string, text string")
+
+
+def test_crawl_content_dedup(spark, tmp_path):
+    web = _mini_web(spark)
+    visited = crawl(
+        spark, web, ["http://site.com:80/a.html"], str(tmp_path / "s"),
+        dedup_content=True,
+    )
+    got = {r["url"].rsplit("/", 1)[1]: r["status"] for r in visited.collect()}
+    # b and c share identical bytes: the url-first (b) is fetched, c is
+    # recorded dup_content and never contributes postings/outlinks
+    assert got == {
+        "a.html": "ok", "b.html": "ok", "c.html": "dup_content", "d.html": "ok",
+    }
+    # without the gate both fetch as ok
+    visited2 = crawl(
+        spark, web, ["http://site.com:80/a.html"], str(tmp_path / "s2"),
+    )
+    got2 = {r["url"].rsplit("/", 1)[1]: r["status"] for r in visited2.collect()}
+    assert got2["c.html"] == "ok"
+
+
+def test_crawl_blacklist(spark, tmp_path):
+    web = _mini_web(spark)
+    visited = crawl(
+        spark, web, ["http://site.com:80/a.html"], str(tmp_path / "s"),
+        blacklist=[r"/b\.html$"],
+    )
+    urls = {r["url"].rsplit("/", 1)[1] for r in visited.collect()}
+    assert urls == {"a.html", "c.html", "d.html"}  # b pruned; d still via c
+
+
+def test_crawl_host_page_cap(spark, pages, tmp_path):
+    visited = crawl(
+        spark, pages, [url_for(0)], str(tmp_path / "s"),
+        host_page_cap=2, max_rounds=300,
+    )
+    rows = visited.collect()
+    statuses = {r["status"] for r in rows}
+    assert "host_capped" in statuses
+    # capped urls are terminal: never also fetched
+    capped = {r["url"] for r in rows if r["status"] == "host_capped"}
+    fetched = {r["url"] for r in rows if r["status"] == "ok"}
+    assert not capped & fetched
+
+
+def test_crawl_max_frontier_terminates(spark, pages, expected_bfs, tmp_path):
+    visited = crawl(
+        spark, pages, [url_for(0)], str(tmp_path / "s"),
+        max_frontier=5, max_rounds=300,
+    )
+    urls = {r["url"] for r in visited.collect()}
+    assert urls <= set(expected_bfs) and url_for(0) in urls
