@@ -172,8 +172,12 @@ def minhash_dedup(
         "id_a",
         "id_b",
         F.when(union == 0, F.lit(1.0)).otherwise(inter / union).alias("jaccard"),
-    )
-    return out.where(F.col("jaccard") >= jaccard_threshold)
+    ).where(F.col("jaccard") >= jaccard_threshold)
+    # pairs are small: pin them executor-side so the persisted signature
+    # relation can be released here instead of leaking across calls
+    out = out.localCheckpoint(eager=True)
+    sigs.unpersist()
+    return out
 
 
 def simhash_signatures(
@@ -266,6 +270,10 @@ def simhash_near_pairs(
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.select(
+    out = cands.select(
         "id_a", "id_b", hamming.cast("int").alias("hamming")
     ).where(F.col("hamming") <= max_hamming)
+    # pin the (small) verified pairs, release the persisted signatures
+    out = out.localCheckpoint(eager=True)
+    signatures.unpersist()
+    return out

@@ -150,7 +150,15 @@ def assign_doc_indexes(docs: DataFrame, order_col: str = "doc_id") -> DataFrame:
                 {"doc_id": pdf["doc_id"], "doc_index": idx.to_numpy()}
             )
 
-    return ids.mapInPandas(number, schema="doc_id string, doc_index long")
+    # materialize the numbering executor-side (localCheckpoint pins the
+    # exact (doc_id -> doc_index) assignment), then release the pinned
+    # range-partitioned input — the old lazy return leaked the persisted
+    # ids relation across repeated builds
+    numbered = ids.mapInPandas(
+        number, schema="doc_id string, doc_index long"
+    ).localCheckpoint(eager=True)
+    ids.unpersist()
+    return numbered
 
 
 BLOCKS_SCHEMA = (

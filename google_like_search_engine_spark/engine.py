@@ -82,11 +82,15 @@ class SearchEngine:
         assert self.postings is not None, "build first"
         delta_docs = docs_from_pages(pages_delta)
         delta_postings = build_postings(delta_docs)
-        delta_ids = delta_postings.select("doc_id").distinct()
+        # replaced ids come from the DOCS in the delta, not its postings:
+        # a re-crawled page whose new text yields zero postings (emptied
+        # page) must still purge its old postings + doc_stats entry
+        delta_ids = delta_docs.select("doc_id").distinct()
         old = self.postings
+        old_doc_stats = self.doc_stats
         merged = (
             old.join(delta_ids, "doc_id", "left_anti")
-            .unionByName(delta_postings)
+            .unionByName(delta_postings.select(*old.columns))
             .persist()
         )
         self.postings = merged
@@ -108,10 +112,16 @@ class SearchEngine:
         )
         self.term_df.count()
         old.unpersist()
+        if old_doc_stats is not None:
+            old_doc_stats.unpersist()
         if getattr(self, "_served", None) is not None:  # serving state is stale
             self._served.unpersist()
             self._served = None
             self._dict = None
+        # any blocked index read earlier may be re-saved next; its cached
+        # handles (persisted doc_stats_idx, stale file listings) must not
+        # outlive the merge
+        self._invalidate_blocked_cache()
         return self
 
     def save(self, path: str) -> None:
@@ -132,6 +142,9 @@ class SearchEngine:
         worth of the index relevant to the query terms is read, the
         100 TB serving layout."""
         assert self.postings is not None, "build first"
+        # re-saving over a previously-queried path must drop its cached
+        # handles, or later queries serve stale results / dead file lists
+        self._invalidate_blocked_cache(path)
         # doc_index in URL order: score ties then break identically on
         # doc_index and url, so the join-free top-k (url looked up only
         # for the k winners) is exactly the url-tiebroken result
@@ -179,6 +192,18 @@ class SearchEngine:
             .write.mode("overwrite")
             .parquet(f"{path}/term_stats")
         )
+
+    def _invalidate_blocked_cache(self, index_path: str | None = None) -> None:
+        """Drop cached blocked-index handles (one path, or all when
+        ``index_path`` is None), unpersisting their doc_stats dimension."""
+        cache = getattr(self, "_blocked_cache", None)
+        if not cache:
+            return
+        keys = [index_path] if index_path is not None else list(cache)
+        for key in keys:
+            entry = cache.pop(key, None)
+            if entry is not None:
+                entry[1].unpersist()
 
     def _blocked_handles(self, index_path: str):
         """Per-path blocked-index handles, opened once: the blocks scan
@@ -453,3 +478,4 @@ class SearchEngine:
         ):
             if df is not None:
                 df.unpersist()
+        self._invalidate_blocked_cache()

@@ -97,13 +97,16 @@ def build_postings(docs: DataFrame) -> DataFrame:
                     out_tf.append(len(plist))
                     out_pos.append(plist)
                     out_l2.append(l2)
+            # positions must stay an object column even when the batch
+            # yields zero rows (a batch of token-less docs): an empty
+            # list infers float64, which Arrow can't cast to list<int>
             yield pd.DataFrame(
                 {
                     "term": out_term,
                     "doc_id": out_doc,
                     "url": out_url,
                     "tf": out_tf,
-                    "positions": out_pos,
+                    "positions": pd.Series(out_pos, dtype="object"),
                     "l2_norm": out_l2,
                 }
             )

@@ -37,6 +37,15 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080) -> ThreadingH
             self.end_headers()
             self.wfile.write(body)
 
+        def _k(self, q) -> int | None:
+            """Parse ?k= defensively: non-integer -> None (caller sends
+            400); valid values clamp to [1, 100]."""
+            try:
+                k = int(q.get("k", "10"))
+            except ValueError:
+                return None
+            return max(1, min(k, 100))
+
         def do_GET(self):  # noqa: N802 (stdlib API name)
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
@@ -48,7 +57,10 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080) -> ThreadingH
                     if not query:
                         self._json(400, {"error": "missing ?query="})
                         return
-                    k = min(int(q.get("k", "10")), 100)
+                    k = self._k(q)
+                    if k is None:
+                        self._json(400, {"error": "?k= must be an integer"})
+                        return
                     if q.get("scorer") == "tfidf":
                         res = engine.search(query, k=k)
                         rows = [
@@ -70,7 +82,10 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080) -> ThreadingH
                     if not prefix:
                         self._json(400, {"error": "missing ?prefix="})
                         return
-                    k = min(int(q.get("k", "10")), 100)
+                    k = self._k(q)
+                    if k is None:
+                        self._json(400, {"error": "?k= must be an integer"})
+                        return
                     rows = [
                         {"term": r["term"], "df": int(r["df"])}
                         for r in engine.autocomplete(prefix, k=k).collect()

@@ -114,3 +114,56 @@ def test_merge_pages_replaces_and_appends(spark):
     ]
     eng.unpersist()
     ref.unpersist()
+
+
+def test_merge_pages_purges_emptied_page(spark):
+    """A re-crawled page whose new text yields zero postings must purge
+    its old postings + doc_stats entry (documented REPLACE semantics)."""
+    from pyspark.sql import functions as F
+
+    base = spark.createDataFrame(
+        [
+            ("http://a.example:80/x.html", "apples figs pears"),
+            ("http://a.example:80/y.html", "grapes melons"),
+        ],
+        "url string, text string",
+    )
+    eng = SearchEngine(spark).build(base, run_pagerank=False)
+    assert eng.total_documents == 2
+    # re-crawl x.html: now blank (tag-stripped to no tokens)
+    delta = spark.createDataFrame(
+        [("http://a.example:80/x.html", "<html></html>")],
+        "url string, text string",
+    )
+    eng.merge_pages(delta)
+    urls = {r["url"] for r in eng.postings.select("url").distinct().collect()}
+    assert urls == {"http://a.example:80/y.html"}
+    assert eng.total_documents == 1
+    eng.unpersist()
+
+
+def test_save_blocked_invalidates_stale_handles(spark, tmp_path):
+    """Re-saving a blocked index over a previously-queried path must not
+    serve results from the old index's cached handles."""
+    from google_like_search_engine_spark.corpus import generate_pages
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "blk")
+    eng = SearchEngine(spark).build(
+        generate_pages(spark, 40).where(F.col("lang") == "en"), run_pagerank=False
+    )
+    eng.save_blocked(path)
+    before = eng.search_bm25_blocked(path, "search engine", k=5).collect()
+    assert before
+    # rebuild over a bigger corpus and re-save to the SAME path
+    eng2 = SearchEngine(spark).build(
+        generate_pages(spark, 90).where(F.col("lang") == "en"), run_pagerank=False
+    )
+    eng2._blocked_cache = eng._blocked_cache  # simulate same session handles
+    eng2.save_blocked(path)
+    after = eng2.search_bm25_blocked(path, "search engine", k=5)
+    expect = eng2.search_bm25("search engine", k=5).collect()
+    got = after.collect()
+    assert [r["url"] for r in got] == [r["url"] for r in expect]
+    eng.unpersist()
+    eng2.unpersist()

@@ -69,6 +69,23 @@ def test_search_missing_query_is_400(base_url):
         assert e.code == 400
 
 
+def test_bad_k_is_400_not_500(base_url):
+    for bad in ("abc", "1.5"):
+        try:
+            urllib.request.urlopen(
+                f"{base_url}/search?query=index&k={bad}", timeout=60
+            )
+            assert False, "expected HTTPError"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+
+def test_negative_k_clamps_to_one(base_url):
+    code, body = _get(f"{base_url}/search?query=search+engine+index&k=-3")
+    assert code == 200
+    assert len(body["results"]) <= 1
+
+
 def test_unknown_route_is_404(base_url):
     try:
         urllib.request.urlopen(f"{base_url}/nope", timeout=60)
