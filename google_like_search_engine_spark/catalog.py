@@ -509,6 +509,47 @@ SELECT l_partkey AS key FROM lineitem
 """
 
 
+def setop_union_except(spark, sf_dir):
+    """UNION + EXCEPT in one tagged relation (both set ops exercised
+    with non-empty sides — the lone-op variants' EXCEPT was vacuously
+    empty at test SFs). ``op`` tags which set op produced the row."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9500)
+    s = load(spark, sf_dir, "supplier").where(F.col("s_acctbal") > 9500)
+    u = (
+        c.select(F.col("c_name").alias("val"))
+        .union(s.select(F.col("s_name").alias("val")))
+        .distinct()
+        .select(F.lit("union").alias("op"), "val")
+    )
+    p = load(spark, sf_dir, "part").select(F.col("p_partkey").alias("key"))
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") > 45)
+        .select(F.col("l_partkey").alias("key"))
+    )
+    ex = (
+        p.exceptAll(li)
+        .distinct()
+        .select(F.lit("except").alias("op"), F.col("key").cast("string").alias("val"))
+    )
+    return u.unionByName(ex)
+
+
+SETOP_UNION_EXCEPT_SQL = """
+SELECT 'union' AS op, val FROM (
+  SELECT c_name AS val FROM customer WHERE c_acctbal > 9500
+  UNION
+  SELECT s_name AS val FROM supplier WHERE s_acctbal > 9500
+)
+UNION ALL
+SELECT 'except' AS op, CAST(key AS VARCHAR) AS val FROM (
+  SELECT p_partkey AS key FROM part
+  EXCEPT
+  SELECT l_partkey AS key FROM lineitem WHERE l_quantity > 45
+)
+"""
+
+
 def rollup_revenue(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     return (
@@ -569,6 +610,38 @@ def join_anti(spark, sf_dir):
 JOIN_ANTI_SQL = """
 SELECT p_partkey, p_name FROM part
 WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+"""
+
+
+def join_semi_anti(spark, sf_dir):
+    """Left-semi (EXISTS) + left-anti (NOT EXISTS) in one tagged
+    relation, both sides non-empty: customers holding an order > 300k;
+    parts never shipped in quantity > 45."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.lit("semi").alias("op"),
+        F.col("c_custkey").alias("key"),
+        F.col("c_name").alias("name"),
+    )
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    anti = p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        F.lit("anti").alias("op"),
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+    )
+    return semi.unionByName(anti)
+
+
+JOIN_SEMI_ANTI_SQL = """
+SELECT 'semi' AS op, c_custkey AS key, c_name AS name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+UNION ALL
+SELECT 'anti' AS op, p_partkey AS key, p_name AS name FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity > 45)
 """
 
 

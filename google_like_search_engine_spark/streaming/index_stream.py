@@ -21,27 +21,38 @@ from ..indexer import build_postings
 from ..sources.formats import PAGES_READ_SCHEMA
 
 
-def stream_pages(spark: SparkSession, path: str) -> DataFrame:
-    return spark.readStream.schema(PAGES_READ_SCHEMA).parquet(path)
+def stream_pages(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    return spark.readStream.schema(schema or PAGES_READ_SCHEMA).parquet(path)
 
 
 def incremental_index(
     pages_stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
+    postings_fn=None,
 ):
     """Start the incremental build; returns the StreamingQuery.
 
     Each micro-batch runs the same partition-local posting construction
     as the batch indexer and appends to ``out_dir`` (parquet; an
     Iceberg table on a real cluster makes each batch an atomic commit).
+
+    ``postings_fn``: batch DataFrame -> postings relation carrying at
+    least (term, doc_id); defaults to the reference indexer kernels
+    over a pages batch. The driver-gate entry passes the plain
+    space-tokenized form so the streamed+compacted index is
+    SQL-oracle-checkable.
     """
     from ..indexer import docs_from_pages
 
+    if postings_fn is None:
+        def postings_fn(batch_df: DataFrame) -> DataFrame:
+            return build_postings(docs_from_pages(batch_df))
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        postings = build_postings(docs_from_pages(batch_df))
         (
-            postings.withColumn("_batch_id", F.lit(batch_id))
+            postings_fn(batch_df)
+            .withColumn("_batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(out_dir)
         )

@@ -47,3 +47,30 @@ def test_incremental_index_matches_batch(spark, tmp_path):
     assert got == expected
     assert len(got) > n_mid
     all_pages.unpersist()
+
+
+def test_recrawl_appends_then_compaction_collapses(spark, tmp_path):
+    """Re-crawled docs ACCUMULATE in the appended store (the reference's
+    read-modify-write append, Indexer.java:132-147); compaction keeps
+    the newest per (term, doc_id) — the driver-gate streaming_compaction
+    entry relies on exactly this."""
+    pages_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "index_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = generate_pages(spark, 30, partitions=2).cache()
+    # batch 0: all pages; batch 1: the SAME pages re-crawled unchanged
+    pages.write.mode("append").parquet(pages_dir)
+    incremental_index(stream_pages(spark, pages_dir), out_dir, ckpt).awaitTermination()
+    pages.write.mode("append").parquet(pages_dir)
+    incremental_index(stream_pages(spark, pages_dir), out_dir, ckpt).awaitTermination()
+
+    raw = spark.read.parquet(out_dir)
+    assert {r["_batch_id"] for r in raw.select("_batch_id").distinct().collect()} == {0, 1}
+    n_raw = raw.count()
+    compacted = compact_index(spark, out_dir)
+    n_comp = compacted.count()
+    assert n_raw == 2 * n_comp  # every posting duplicated pre-compaction
+    batch = build_postings(docs_from_pages(pages))
+    assert n_comp == batch.count()
+    pages.unpersist()
