@@ -145,3 +145,114 @@ def test_crawl_max_frontier_terminates(spark, pages, expected_bfs, tmp_path):
     )
     urls = {r["url"] for r in visited.collect()}
     assert urls <= set(expected_bfs) and url_for(0) in urls
+
+
+def test_delta_checkpoints_hold_only_round_discoveries(spark, pages, expected_bfs, tmp_path):
+    """Round r's checkpoint persists exactly the rows discovered in
+    round r (no full-table rewrite): delta counts are disjoint and sum
+    to the final visited count."""
+    state = str(tmp_path / "sd")
+    visited = crawl(spark, pages, [url_for(0)], state)
+    total = visited.count()
+    import glob
+
+    deltas = sorted(glob.glob(f"{state}/round=*/visited_delta"))
+    assert len(deltas) >= 2
+    counts = [spark.read.parquet(d).count() for d in deltas]
+    assert sum(counts) == total  # deltas partition visited: no rewrites
+    # round 0 discovered exactly the seed
+    assert counts[0] == 1
+    urls = [
+        {r["url"] for r in spark.read.parquet(d).collect()} for d in deltas
+    ]
+    for i in range(len(urls)):
+        for j in range(i + 1, len(urls)):
+            assert not urls[i] & urls[j]
+
+
+def test_compaction_prunes_state_and_resume_stays_exact(spark, pages, expected_bfs, tmp_path):
+    import glob
+
+    state = str(tmp_path / "sc")
+    crawl(spark, pages, [url_for(0)], state, max_rounds=3, compact_every=2)
+    # round 1 compacted: round 0's dir is gone, a snapshot exists
+    assert not glob.glob(f"{state}/round=00000")
+    assert glob.glob(f"{state}/round=00001/visited_full")
+
+    resumed = crawl(spark, pages, [url_for(0)], state, compact_every=2)
+    got = {r["url"]: r["depth"] for r in resumed.collect()}
+    assert got == expected_bfs
+
+
+def test_robots_gate_blocks_and_respects_agent_priority(spark, tmp_path):
+    web = _mini_web(spark)
+    # generic section disallows /b; the crawler's own agent section
+    # allows everything -> agent priority must win for d's host? Use two
+    # hosts: site.com blocks /b for everyone; agent-specific override is
+    # covered by the kernel test. Here: /b blocked, d still reached via c.
+    robots = spark.createDataFrame(
+        [("site.com", "User-agent: *\nDisallow: /b")],
+        "host string, robots_txt string",
+    )
+    visited = crawl(
+        spark, web, ["http://site.com:80/a.html"], str(tmp_path / "s"),
+        robots=robots,
+    )
+    got = {r["url"].rsplit("/", 1)[1]: r["status"] for r in visited.collect()}
+    assert got["b.html"] == "robots_blocked"
+    assert got["a.html"] == "ok" and got["c.html"] == "ok" and got["d.html"] == "ok"
+
+
+def test_redirect_chain_follows_and_caps(spark, tmp_path):
+    """a links to r0; r0->r1->r2->r3->r4 redirect chain; r3 is followed
+    (hops 3 <= cap) but r4 redirects at hops 4 > 3 -> chain stopped
+    (Crawler.java:279-283). A 200 target (b) one hop away is fetched."""
+
+    def page(path, body, *links):
+        anchors = "".join(f' <a href="http://site.com:80/{l}.html"></a>' for l in links)
+        return (f"http://site.com:80/{path}.html", body + anchors)
+
+    web = spark.createDataFrame(
+        [page("a", "root", "r0", "q0"), page("b", "redirect target")],
+        "url string, text string",
+    )
+    u = lambda p: f"http://site.com:80/{p}.html"  # noqa: E731
+    redirects = spark.createDataFrame(
+        [(u("q0"), u("b"))] + [(u(f"r{i}"), u(f"r{i+1}")) for i in range(5)],
+        "src_url string, dst_url string",
+    )
+    visited = crawl(
+        spark, web, [u("a")], str(tmp_path / "s"), redirects=redirects,
+        max_rounds=20,
+    )
+    got = {r["url"].rsplit("/", 1)[1]: r["status"] for r in visited.collect()}
+    assert got["q0.html"] == "redirect" and got["b.html"] == "ok"
+    for i in range(4):
+        assert got[f"r{i}.html"] == "redirect", i
+    assert got["r4.html"] == "redirect_capped"
+    assert "r5.html" not in got
+
+
+def test_crawl_delay_defers_but_converges(spark, tmp_path):
+    """A declared crawl-delay above the default caps the host at one
+    fetch per round — fetches serialize (one ok per round) but no url
+    is lost."""
+    web = _mini_web(spark)
+    robots = spark.createDataFrame(
+        [("site.com", "User-agent: *\nCrawl-delay: 5")],
+        "host string, robots_txt string",
+    )
+    state = str(tmp_path / "s")
+    visited = crawl(
+        spark, web, ["http://site.com:80/a.html"], state,
+        robots=robots, max_rounds=50,
+    )
+    rows = visited.collect()
+    names = {r["url"].rsplit("/", 1)[1] for r in rows}
+    assert names == {"a.html", "b.html", "c.html", "d.html"}
+    assert all(r["status"] == "ok" for r in rows)
+    # one fetch per round: ok-row count == number of rounds used
+    import glob
+
+    n_rounds = len(glob.glob(f"{state}/round=*"))
+    assert len(rows) == n_rounds == 4

@@ -159,3 +159,59 @@ def test_index_tokenize_repeated_terms():
     assert pos["cat"] == [1, 2]
     assert pos["dog"] == [3]
     assert l2 == pytest.approx((4 + 1) ** 0.5)
+
+
+# -- robots exclusion kernel (RobotExclusionProtocol.java port) -------------
+
+def test_robots_agent_priority_and_fallback():
+    from google_like_search_engine_spark.kernels.robots import is_url_allowed
+
+    txt = (
+        "User-agent: cis5550-crawler\nAllow: /b\n"
+        "User-agent: *\nDisallow: /b\n"
+    )
+    assert is_url_allowed(txt, "/b.html", "cis5550-crawler") is True
+    assert is_url_allowed(txt, "/b.html", "otherbot") is False
+    # no section at all -> allowed
+    assert is_url_allowed("# nothing here", "/b.html") is True
+    # the reference's fetch-failure sentinel allows everything
+    assert is_url_allowed("NaN", "/b.html") is True
+
+
+def test_robots_only_first_matching_section_counts():
+    from google_like_search_engine_spark.kernels.robots import is_url_allowed
+
+    # java:35 keeps collecting only while relevantLines.isEmpty(): the
+    # second '*' section's Allow is never read
+    txt = "User-agent: *\nDisallow: /a\nUser-agent: *\nAllow: /a\n"
+    assert is_url_allowed(txt, "/a/x") is False
+
+
+def test_robots_first_matching_rule_wins():
+    from google_like_search_engine_spark.kernels.robots import is_url_allowed
+
+    txt = "User-agent: *\nAllow: /ab\nDisallow: /a\n"
+    assert is_url_allowed(txt, "/abc") is True
+    assert is_url_allowed(txt, "/ax") is False
+    # no rule matches -> allowed
+    assert is_url_allowed(txt, "/zzz") is True
+
+
+def test_robots_wildcard_quirk_reproduced():
+    from google_like_search_engine_spark.kernels.robots import is_url_allowed
+
+    # java:59-64 escapes dots AFTER expanding '*' to '.*', so the
+    # wildcard matches only runs of literal dots — pinned, not "fixed"
+    txt = "User-agent: *\nDisallow: /a*b\n"
+    assert is_url_allowed(txt, "/azb") is True   # RFC would block this
+    assert is_url_allowed(txt, "/a.b") is False
+    assert is_url_allowed(txt, "/ab") is False
+
+
+def test_robots_crawl_delay_parse():
+    from google_like_search_engine_spark.kernels.robots import parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2.5\n") == 2500.0
+    assert parse_crawl_delay("crawl-DELAY: 3") == 3000.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x") == 1000.0
+    assert parse_crawl_delay("") == 1000.0
