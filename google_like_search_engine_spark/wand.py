@@ -232,9 +232,26 @@ def blocked_maxscore_topk(
         else:
             break
 
+    # (2.5) TRUE block-max: per-block upper bound from metadata only.
+    # A doc in block-range B scores at most the sum over query terms
+    # with a block at B of idf_t * ub(block max_tf) — strictly below
+    # theta means no doc in B can reach the top-k (theta lower-bounds
+    # the final k-th score, and the k theta-seeding docs all lie in
+    # live blocks, so >= k candidates always survive). This skips
+    # ESSENTIAL-term blocks too — the part plain MaxScore can't do —
+    # and touches only (term, block) metadata rows, never the bytes.
+    if theta > 0.0:
+        idf_by_term = {t2: idf(dfs[t2]) for t2 in dfs}
+        live_blocks = _live_block_ids(
+            qblocks, idf_by_term, theta, k1, b, min_dl, avgdl
+        )
+        qblocks_live = qblocks.join(live_blocks, "block_id", "left_semi")
+    else:
+        qblocks_live = qblocks
+
     ess_terms = spark.createDataFrame([(t,) for t in sorted(essential)], "term string")
     ess_decoded = scoring_entries(
-        qblocks.join(F.broadcast(ess_terms), "term")
+        qblocks_live.join(F.broadcast(ess_terms), "term")
     ).persist()
     candidates = ess_decoded.select("doc_index").distinct()
     cand_blocks = candidates.select(
@@ -272,6 +289,36 @@ def blocked_maxscore_topk(
     qblocks.unpersist()
     ess_decoded.unpersist()
     return out
+
+
+def _live_block_ids(
+    qblocks: DataFrame,
+    idf_by_term: dict,
+    theta: float,
+    k1: float,
+    b: float,
+    min_dl: float,
+    avgdl: float,
+) -> DataFrame:
+    """block_ids whose metadata-level BM25 upper bound can reach
+    ``theta``: sum over the query terms present in the block of
+    idf_t * block-max-tf contribution (with the global min_dl bound).
+    Pure aggregation over (term, block_id, max_tf) metadata — no block
+    bytes are touched. Blocks below theta are provably top-k-free."""
+    idf_lit = F.create_map(
+        *[x for t in idf_by_term for x in (F.lit(t), F.lit(idf_by_term[t]))]
+    )
+    block_ub = (
+        idf_lit[F.col("term")]
+        * (F.col("max_tf") * (k1 + 1))
+        / (F.col("max_tf") + k1 * (1 - b + b * min_dl / avgdl))
+    )
+    return (
+        qblocks.groupBy("block_id")
+        .agg(F.sum(block_ub).alias("_ub"))
+        .where(F.col("_ub") >= theta)
+        .select("block_id")
+    )
 
 
 def _block_span(blocks: DataFrame) -> int:

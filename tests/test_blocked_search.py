@@ -21,7 +21,11 @@ from tests.test_wand_and_lineage import _random_docs
     ("index merge join table", 7),
     ("missingword", 5),
 ])
-def test_blocked_maxscore_equals_naive(spark, query, k):
+@pytest.mark.parametrize("small_query_entries", [100_000, 0])
+def test_blocked_maxscore_equals_naive(spark, query, k, small_query_entries):
+    """Exactness through BOTH plans: the single-job fast path (default
+    threshold) and the full MaxScore + block-max pruned path (threshold
+    0 forces it even on the small fixture)."""
     docs = _random_docs(spark, n=150, seed=23)
     postings = build_postings(docs).persist()
     idx = assign_doc_indexes(docs).persist()
@@ -37,12 +41,82 @@ def test_blocked_maxscore_equals_naive(spark, query, k):
 
     naive = score_bm25(spark, query, postings, doc_stats, n).limit(k).collect()
     fast = blocked_maxscore_topk(
-        spark, query, blocks, doc_stats_idx, n, k=k
+        spark, query, blocks, doc_stats_idx, n, k=k,
+        small_query_entries=small_query_entries,
     ).collect()
     assert [r["url"] for r in fast] == [r["url"] for r in naive], query
     for a, b in zip(fast, naive):
         assert a["score"] == pytest.approx(b["score"], rel=1e-9)
     for df in (postings, idx, blocks, doc_stats_idx):
+        df.unpersist()
+
+
+def test_block_max_refinement_skips_blocks(spark):
+    """On a tf-skewed corpus the per-block upper bound prunes whole
+    blocks below theta — including ESSENTIAL-term blocks (the part
+    plain MaxScore's candidate logic can't skip) — while the pruned
+    result stays exactly the naive top-k."""
+    import math
+
+    from google_like_search_engine_spark.wand import _live_block_ids
+
+    # 8 "hot" docs repeat the query terms many times; 152 "cold" docs
+    # mention them once among filler — hot and cold docs land in
+    # different doc-index ranges, so cold blocks' max_tf stays 1
+    rows = []
+    for i in range(8):
+        rows.append((f"d{i:03d}", f"http://x.com/{i:03d}.html",
+                     " ".join(["spark shuffle"] * 30)))
+    for i in range(8, 160):
+        rows.append((f"d{i:03d}", f"http://x.com/{i:03d}.html",
+                     "filler words here spark shuffle other stuff"))
+    docs = spark.createDataFrame(rows, "doc_id string, url string, text string")
+    postings = build_postings(docs).persist()
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(idx, "doc_id"), block_span=16).persist()
+    doc_stats = postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    doc_stats_idx = doc_stats.join(idx, "doc_id").select(
+        "doc_index", "url", "n_term_entries"
+    ).persist()
+    n = docs.count()
+
+    # pruned path, k small enough that theta lands above cold blocks
+    k = 5
+    fast = blocked_maxscore_topk(
+        spark, "spark shuffle", blocks, doc_stats_idx, n, k=k,
+        small_query_entries=0,
+    ).collect()
+    naive = score_bm25(spark, "spark shuffle", postings, doc_stats, n).limit(k).collect()
+    assert [(r["url"], round(r["score"], 9)) for r in fast] == [
+        (r["url"], round(r["score"], 9)) for r in naive
+    ]
+
+    # direct evidence: the metadata bound keeps only the hot block(s)
+    from google_like_search_engine_spark.ranker import expand_query
+
+    words = sorted({w.lower() for w in expand_query("spark shuffle")})
+    qblocks = blocks.where(F.col("term").isin(words))
+    total_blocks = qblocks.select("block_id").distinct().count()
+    stats = doc_stats_idx.agg(
+        F.avg("n_term_entries").alias("a"), F.min("n_term_entries").alias("m")
+    ).collect()[0]
+    dfs = {
+        r["term"]: r["df"]
+        for r in qblocks.groupBy("term").agg(F.sum("n_docs").alias("df")).collect()
+    }
+    idf = {t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items()}
+    # theta = k-th best real score (>= the seeded theta -> fewer live
+    # blocks with the real one would still be exact; use the seeded
+    # bound's weakest form: the k-th naive score)
+    theta = naive[-1]["score"]
+    live = _live_block_ids(
+        qblocks, idf, theta, 1.2, 0.75, float(stats["m"]), float(stats["a"])
+    ).count()
+    assert live < total_blocks, (live, total_blocks)
+    assert live >= 1
+    for df in (postings, blocks, doc_stats_idx):
         df.unpersist()
 
 
