@@ -151,10 +151,14 @@ class SearchEngine:
         idx = assign_doc_indexes(
             self.postings.select("doc_id", "url").distinct(), order_col="url"
         )
-        dl = self.doc_stats.select("doc_id", F.col("n_term_entries").alias("dl"))
-        blocks = block_postings(
-            self.postings.join(F.broadcast(idx), "doc_id").join(dl, "doc_id")
-        )
+        if "dl" in self.postings.columns:
+            postings_dl = self.postings  # dl denormalized at tokenize time
+        else:  # pre-dl layout: join the doc-length dimension in
+            postings_dl = self.postings.join(
+                self.doc_stats.select("doc_id", F.col("n_term_entries").alias("dl")),
+                "doc_id",
+            )
+        blocks = block_postings(postings_dl.join(F.broadcast(idx), "doc_id"))
         (
             blocks.withColumn(
                 "term_bucket", F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS))
@@ -419,13 +423,15 @@ class SearchEngine:
         if self.term_df.count() > self.DICT_CAP:
             return False
         self._dict = {r["term"]: int(r["df"]) for r in self.term_df.collect()}
-        self._served = (
-            self.postings.join(
-                self.doc_stats.select("doc_id", "n_term_entries"), "doc_id"
+        if "dl" in self.postings.columns:
+            served = self.postings.select(
+                "term", "url", "tf", F.col("dl").alias("n_term_entries")
             )
-            .select("term", "url", "tf", "n_term_entries")
-            .persist()
-        )
+        else:  # pre-dl index layout
+            served = self.postings.join(
+                self.doc_stats.select("doc_id", "n_term_entries"), "doc_id"
+            ).select("term", "url", "tf", "n_term_entries")
+        self._served = served.persist()
         self._served.count()
         return True
 

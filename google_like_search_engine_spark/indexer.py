@@ -39,7 +39,7 @@ from .kernels.textclean import index_tokenize
 
 POSTINGS_SCHEMA = (
     "term string, doc_id string, url string, tf int, "
-    "positions array<int>, l2_norm double"
+    "positions array<int>, l2_norm double, dl int"
 )
 
 _TAG_RE = re.compile(r"<[^>]*>")
@@ -85,11 +85,16 @@ def build_postings(docs: DataFrame) -> DataFrame:
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_term, out_doc, out_url, out_tf, out_pos, out_l2 = [], [], [], [], [], []
+            out_dl = []
             for doc_id, url, text in zip(pdf["doc_id"], pdf["url"], pdf["text"]):
                 if text is None:
                     continue
                 page = _TAG_RE.sub(" ", text)
                 positions, l2 = index_tokenize(page)
+                # per-doc length (sum of tfs, raw+stem) denormalized into
+                # every posting row: BM25 scoring then needs NO doc_stats
+                # join — the self-contained-postings serving layout
+                dl = sum(len(p) for p in positions.values())
                 for term, plist in positions.items():
                     out_term.append(term)
                     out_doc.append(doc_id)
@@ -97,6 +102,7 @@ def build_postings(docs: DataFrame) -> DataFrame:
                     out_tf.append(len(plist))
                     out_pos.append(plist)
                     out_l2.append(l2)
+                    out_dl.append(dl)
             # positions must stay an object column even when the batch
             # yields zero rows (a batch of token-less docs): an empty
             # list infers float64, which Arrow can't cast to list<int>
@@ -108,6 +114,7 @@ def build_postings(docs: DataFrame) -> DataFrame:
                     "tf": out_tf,
                     "positions": pd.Series(out_pos, dtype="object"),
                     "l2_norm": out_l2,
+                    "dl": out_dl,
                 }
             )
 

@@ -125,39 +125,42 @@ def score_bm25(
     dictionary table (term, df) from build time — each removes one
     aggregation job per query (a real engine's dictionary stores df).
     """
-    words = {w.lower() for w in (expand_query(query) if use_stems else query.split())}
+    words = sorted({w.lower() for w in (expand_query(query) if use_stems else query.split())})
     if not words:
         return spark.createDataFrame([], "url string, score double")
-    terms = spark.createDataFrame([(w,) for w in sorted(words)], "term string")
 
     if avgdl is None:
         avgdl_row = doc_stats.agg(F.avg("n_term_entries").alias("avgdl")).collect()[0]
         avgdl = float(avgdl_row["avgdl"] or 1.0)
 
-    matched = postings.join(F.broadcast(terms), "term").select(
-        "term", "doc_id", "url", "tf"
+    # isin, not a broadcast-join with a literal term DF: the filter
+    # pushes to the scan / cache batch stats and costs no per-query
+    # createDataFrame driver round-trip
+    has_dl = "dl" in postings.columns
+    matched = postings.where(F.col("term").isin(words)).select(
+        "term", "doc_id", "url", "tf", *(["dl"] if has_dl else [])
     )
     if term_df is not None:
-        dfc = term_df.join(F.broadcast(terms), "term").select("term", "df")
+        dfc = term_df.where(F.col("term").isin(words)).select("term", "df")
     else:
         dfc = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = float(total_documents)
-    scored = (
-        matched.join(F.broadcast(dfc), "term")
-        .join(doc_stats.select("doc_id", "n_term_entries"), "doc_id")
-        .select(
-            "doc_id",
-            "url",
-            (
-                F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-                * (F.col("tf") * (k1 + 1))
-                / (
-                    F.col("tf")
-                    + k1
-                    * (1 - b + b * F.col("n_term_entries") / F.lit(avgdl))
-                )
-            ).alias("partial"),
-        )
+    scored = matched.join(F.broadcast(dfc), "term")
+    if has_dl:
+        # dl is denormalized into the postings (indexer.build_postings):
+        # scoring is join-free up to the final per-url aggregation
+        dl_col = F.col("dl")
+    else:
+        scored = scored.join(doc_stats.select("doc_id", "n_term_entries"), "doc_id")
+        dl_col = F.col("n_term_entries")
+    scored = scored.select(
+        "doc_id",
+        "url",
+        (
+            F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * dl_col / F.lit(avgdl)))
+        ).alias("partial"),
     )
     return (
         scored.groupBy("url")
