@@ -88,6 +88,126 @@ def bpe_token_counts(df: DataFrame, id_col: str = "id", text_col: str = "text") 
     )
 
 
+END_OF_WORD = "</w>"
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 200,
+    vocab_cap: int = 50_000,
+) -> list:
+    """Train a byte-pair-encoding merge table on the corpus: the classic
+    Sennrich algorithm (count adjacent symbol pairs weighted by word
+    frequency, merge the most frequent, repeat), made deterministic by
+    lexicographic tie-breaks.
+
+    The word-frequency histogram is computed distributed (explode +
+    groupBy — one shuffle) and only the top ``vocab_cap`` (by frequency,
+    then word) is collected for the driver-side merge loop — the
+    standard practice at scale, where training reads a capped/sampled
+    histogram and only ENCODING runs over the full corpus.
+
+    Returns the ordered merge list [(left, right), ...].
+    """
+    rows = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(vocab_cap)
+        .collect()
+    )
+    vocab = {
+        tuple(r["w"]) + (END_OF_WORD,): int(r["freq"]) for r in rows
+    }
+    merges: list = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        for word, freq in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + freq
+        if not pairs:
+            break
+        # deterministic: highest count, then lexicographically SMALLEST
+        best_count = max(pairs.values())
+        best_pair = min(p for p, c in pairs.items() if c == best_count)
+        if best_count < 2:
+            break
+        merges.append(best_pair)
+        merged = best_pair[0] + best_pair[1]
+        new_vocab: dict = {}
+        for word, freq in vocab.items():
+            out = []
+            i = 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == best_pair:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_encode_word(word: str, ranks: dict) -> list:
+    symbols = list(word) + [END_OF_WORD]
+    while len(symbols) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(symbols) - 1):
+            r = ranks.get((symbols[i], symbols[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        symbols[best_i : best_i + 2] = [symbols[best_i] + symbols[best_i + 1]]
+    return symbols
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode each doc with a trained merge table -> (id, tokens
+    array<string>, n_tokens). Arrow-batched; the merge table broadcasts
+    via closure capture and per-word encodings memoize within a worker."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from functools import lru_cache
+
+        @lru_cache(maxsize=65536)
+        def enc(word: str) -> tuple:
+            return tuple(_bpe_encode_word(word, ranks))
+
+        for pdf in batches:
+            ids, toks, counts = [], [], []
+            for i, text in zip(pdf[id_col], pdf[text_col]):
+                out = []
+                for w in (text or "").split():
+                    out.extend(enc(w))
+                ids.append(i)
+                toks.append(out)
+                counts.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "tokens": pd.Series(toks, dtype="object"),
+                    "n_tokens": counts,
+                }
+            )
+
+    return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        run, schema="id long, tokens array<string>, n_tokens long"
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame,
     id_col: str = "id",

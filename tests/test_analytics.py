@@ -226,3 +226,60 @@ def test_ngram_jaccard_hot_shingle_cap(spark, tmp_path):
     out = t.ngram_jaccard(spark, str(tmp_path)).collect()
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     assert got == {(0, n)}  # boilerplate-only pairs all pruned
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """Classic Sennrich fixture: merge order is fully determined by the
+    pair counts + lexicographic tie-break (hand-verified)."""
+    from google_like_search_engine_spark.analytics.text import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    merges = bpe_train(df, num_merges=6)
+    assert merges == [
+        ("e", "s"),        # 9 (newest+widest)
+        ("es", "t"),       # 9
+        ("est", "</w>"),   # 9
+        ("l", "o"),        # 7 (ties (o,w) at 7; lexicographic min)
+        ("lo", "w"),       # 7
+        ("e", "w"),        # 6 (ties (n,e) and (w,est</w>); min)
+    ]
+
+
+def test_bpe_encode_applies_merges_in_rank_order(spark):
+    from google_like_search_engine_spark.analytics.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    train = spark.createDataFrame([(0, text)], "id long, text string")
+    merges = bpe_train(train, num_merges=6)
+    docs = spark.createDataFrame(
+        [(0, "lowest low"), (1, "newest")], "id long, text string"
+    )
+    got = {r["id"]: (list(r["tokens"]), r["n_tokens"])
+           for r in bpe_encode(docs, merges).collect()}
+    # "lowest": es -> est -> est</w> -> lo -> low  => [low, est</w>]
+    # "low":    lo -> low (no (low,</w>) merge trained) => [low, </w>]
+    assert got[0] == (["low", "est</w>", "low", "</w>"], 4)
+    # "newest": ew merged but (n,ew) never trained
+    assert got[1] == (["n", "ew", "est</w>"], 3)
+
+
+def test_bpe_full_training_reconstructs_words(spark):
+    """With enough merges every training word collapses to one token."""
+    from google_like_search_engine_spark.analytics.text import (
+        END_OF_WORD,
+        bpe_encode,
+        bpe_train,
+    )
+
+    text = " ".join(["alpha"] * 4 + ["beta"] * 3 + ["gamma"] * 2)
+    df = spark.createDataFrame([(0, text)], "id long, text string")
+    merges = bpe_train(df, num_merges=100)
+    got = bpe_encode(df, merges).collect()[0]
+    assert set(got["tokens"]) == {
+        "alpha" + END_OF_WORD, "beta" + END_OF_WORD, "gamma" + END_OF_WORD
+    }
+    assert got["n_tokens"] == 9
