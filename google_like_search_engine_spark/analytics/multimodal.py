@@ -1,12 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes, UDF
-signatures — is real and tested; the actual media decoding is STUBBED
-(this environment ships no image/audio libraries). Each decoder either
-raises NotImplementedError (strict mode) or produces a deterministic
-fake derived from the payload bytes (fake mode, used by tests), so the
-pipeline shape can be validated end-to-end and a real decoder drops in
-by replacing one function.
+signatures — is real and tested. Decoding is REAL for the uncompressed
+formats a pure-Python parser can handle without media libraries:
+- images: BMP (BI_RGB 24/32-bit) and PPM (P6, maxval 255),
+- audio: PCM WAV (stdlib ``wave``).
+Compressed formats (PNG/JPEG/MP3/MP4) still raise NotImplementedError
+in strict mode — those need codec libraries this environment doesn't
+ship — or produce a deterministic payload-derived fake in fake mode
+(used to exercise the 1->N frame-sampling shape and batch plumbing).
 
 Asset table schema:
   asset_id: long, kind: string (image|audio|video), payload: binary,
@@ -16,6 +18,7 @@ Asset table schema:
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import pandas as pd
@@ -43,20 +46,114 @@ def _fake_floats(payload: bytes, n: int) -> list:
     return [float(x) for x in out[:n]]
 
 
-def decode_image_batch(payload: bytes, meta: dict, fake: bool):
-    """STUB: real implementation decodes payload (PNG/JPEG) to HxWxC.
+def _pixel_features(w: int, h: int, channels: int, pix: list) -> list:
+    """8 deterministic summary floats from decoded RGB pixels: per-band
+    mean + max (normalized) plus aspect + fill ratio — the slot a real
+    embedding model occupies."""
+    n = max(len(pix), 1)
+    means = [0.0, 0.0, 0.0]
+    maxs = [0, 0, 0]
+    for px in pix:
+        for c in range(3):
+            means[c] += px[c]
+            if px[c] > maxs[c]:
+                maxs[c] = px[c]
+    out = [m / (255.0 * n) for m in means] + [m / 255.0 for m in maxs]
+    out.append(w / (h or 1))
+    out.append(n / float(w * h or 1))
+    return [float(x) for x in out]
 
-    Replace with e.g. PIL/torchvision in production. Raises unless
-    ``fake`` — the deterministic fake derives dims from meta and
-    features from an md5 stream over the payload."""
+
+def decode_bmp(payload: bytes):
+    """Pure-Python BMP decoder: BITMAPFILEHEADER + BITMAPINFOHEADER,
+    uncompressed (BI_RGB) 24/32-bit, bottom-up or top-down rows, 4-byte
+    row padding. -> (width, height, channels, pixels row-major [(r,g,b)])."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    top_down = h < 0
+    h = abs(h)
+    nbytes = bpp // 8
+    stride = ((w * nbytes + 3) // 4) * 4
+    rows = []
+    for row in range(h):
+        src_row = row if top_down else h - 1 - row
+        base = pixel_off + src_row * stride
+        rows.append(
+            [
+                (
+                    payload[base + x * nbytes + 2],  # stored BGR(A)
+                    payload[base + x * nbytes + 1],
+                    payload[base + x * nbytes],
+                )
+                for x in range(w)
+            ]
+        )
+    return w, h, 3, [px for r in rows for px in r]
+
+
+def decode_ppm(payload: bytes):
+    """Pure-Python PPM (P6, maxval 255) decoder -> (w, h, 3, pixels)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header: P6 <w> <h> <maxval> with comments allowed
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only maxval 255 PPM supported")
+    pix = [
+        (payload[pos + i * 3], payload[pos + i * 3 + 1], payload[pos + i * 3 + 2])
+        for i in range(w * h)
+    ]
+    return w, h, 3, pix
+
+
+def decode_image_batch(payload: bytes, meta: dict, fake: bool):
+    """Decode one image payload to (w, h, channels, features[8]).
+
+    REAL path for BMP / PPM (pure-Python parsers above); compressed
+    formats raise in strict mode (no codec libs in this environment) or
+    produce a deterministic md5-derived fake in fake mode."""
+    if payload[:2] == b"BM":
+        return _with_features(decode_bmp(payload))
+    if payload[:2] == b"P6":
+        return _with_features(decode_ppm(payload))
     if not fake:
         raise NotImplementedError(
-            "image decode requires an image library not present in this "
-            "environment; run with fake=True or plug in a real decoder"
+            "compressed image decode requires an image library not present "
+            "in this environment; supply BMP/PPM payloads, run with "
+            "fake=True, or plug in a real decoder"
         )
     w = int(meta.get("width", 16))
     h = int(meta.get("height", 16))
     return w, h, 3, _fake_floats(payload, 8)
+
+
+def _with_features(decoded):
+    w, h, c, pix = decoded
+    return w, h, c, _pixel_features(w, h, c, pix)
 
 
 def image_features(assets: DataFrame, fake: bool = False) -> DataFrame:
@@ -91,13 +188,18 @@ def audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
             rows = []
             for aid, payload, meta in zip(pdf["asset_id"], pdf["payload"], pdf["meta"]):
                 meta = dict(meta or {})
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF":  # REAL path: PCM WAV via stdlib
+                    sr, n, feats = decode_wav(payload)
+                    rows.append((aid, sr, n, feats))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "audio decode requires an audio library not present; "
-                        "run with fake=True or plug in a real decoder"
+                        "compressed audio decode requires an audio library "
+                        "not present; supply PCM WAV payloads, run with "
+                        "fake=True, or plug in a real decoder"
                     )
                 sr = int(meta.get("sample_rate", 16000))
-                payload = bytes(payload)
                 rows.append((aid, sr, len(payload) // 2, _fake_floats(payload, 8)))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "sample_rate", "n_samples", "features"]
@@ -136,6 +238,96 @@ def sample_frames(assets: DataFrame, every_n: int = 10, fake: bool = False) -> D
         .select("asset_id", "payload")
         .mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
     )
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV via stdlib ``wave`` -> (sample_rate, n_samples,
+    features[8]: mean/max/min of normalized 16-bit samples + duration +
+    channel count + zero-crossing rate + two reserved zeros)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sr = wf.getframerate()
+        n = wf.getnframes()
+        ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(n)
+    if width != 2:
+        raise NotImplementedError("only 16-bit PCM WAV supported")
+    samples = struct.unpack("<" + "h" * (len(raw) // 2), raw)
+    m = max(len(samples), 1)
+    mean = sum(samples) / m / 32768.0
+    mx = max(samples, default=0) / 32768.0
+    mn = min(samples, default=0) / 32768.0
+    zc = sum(
+        1 for i in range(1, len(samples)) if (samples[i - 1] < 0) != (samples[i] < 0)
+    ) / m
+    feats = [mean, mx, mn, n / float(sr or 1), float(ch), zc, 0.0, 0.0]
+    return sr, n, [float(x) for x in feats]
+
+
+def encode_bmp(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (bottom-up, 4-byte row padding);
+    ``pixel_fn(x, y) -> (r, g, b)``. Used to synthesize REAL image
+    payloads for tests/fixtures without any image library."""
+    stride = ((width * 3 + 3) // 4) * 4
+    pixel_data = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            r, g, b = pixel_fn(x, row)
+            pixel_data += bytes((b & 0xFF, g & 0xFF, r & 0xFF))
+        pixel_data += b"\x00" * (stride - width * 3)
+    size = 54 + len(pixel_data)
+    hdr = b"BM" + struct.pack("<IHHI", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    return bytes(hdr + info + pixel_data)
+
+
+def encode_wav(sample_rate: int, samples: list) -> bytes:
+    """Minimal 16-bit mono PCM WAV writer (stdlib wave)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(struct.pack("<" + "h" * len(samples), *samples))
+    return buf.getvalue()
+
+
+def synth_media_assets(spark, n: int = 30) -> DataFrame:
+    """Deterministic REAL-format asset table: BMP images (gradient
+    patterns varying per asset) and PCM WAV audio (pure tones via a
+    cubic-approx sine — integer arithmetic, fully deterministic)."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+            payload = encode_bmp(
+                w, h,
+                lambda x, y, i=i: (
+                    (x * 37 + i * 11) % 256,
+                    (y * 53 + i * 7) % 256,
+                    (x * y + i) % 256,
+                ),
+            )
+            rows.append(
+                (i, "image", payload, {"width": str(w), "height": str(h)})
+            )
+        else:
+            sr = 8000
+            n_samp = 400 + (i % 4) * 100
+            samples = [
+                ((k * (i + 3) * 257) % 20001) - 10000 for k in range(n_samp)
+            ]
+            rows.append(
+                (i, "audio", encode_wav(sr, samples), {"sample_rate": str(sr)})
+            )
+    return spark.createDataFrame(rows, ASSETS_SCHEMA)
 
 
 def synth_assets(spark, n: int = 30, seed: int = 42) -> DataFrame:

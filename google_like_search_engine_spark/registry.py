@@ -207,12 +207,13 @@ def _lsh_cosine_topk(spark, sf_dir):
 
 
 def _multimodal_image_features(spark, sf_dir):
-    """Binary-column media plumbing (deterministic fake decoder —
-    image libs are not in this environment; the Spark-side schema,
-    batching, and UDF signatures are the real path)."""
-    from .analytics.multimodal import image_features, synth_assets
+    """Binary-column media pipeline, REAL strict-mode decode: the
+    fixture payloads are genuine BMP bytes (pure-Python encoder) and
+    the Arrow UDF parses them with the pure-Python BMP decoder — no
+    image library involved, no fake path."""
+    from .analytics.multimodal import image_features, synth_media_assets
 
-    feats = image_features(synth_assets(spark, n=60), fake=True)
+    feats = image_features(synth_media_assets(spark, n=60), fake=False)
     # Stringify the array<float> column: the driver's canonicalizer
     # sorts/hashes pandas values and dies on unhashable lists.
     return feats.select(

@@ -283,3 +283,71 @@ def test_bpe_full_training_reconstructs_words(spark):
         "alpha" + END_OF_WORD, "beta" + END_OF_WORD, "gamma" + END_OF_WORD
     }
     assert got["n_tokens"] == 9
+
+
+def test_bmp_decode_roundtrip_real_mode(spark):
+    """encode_bmp -> decode_bmp roundtrips pixels exactly (incl. row
+    padding and bottom-up order), and image_features runs STRICT mode
+    over genuine BMP payloads."""
+    from google_like_search_engine_spark.analytics.multimodal import (
+        decode_bmp,
+        encode_bmp,
+        image_features,
+        synth_media_assets,
+    )
+
+    pix = lambda x, y: ((x * 40) % 256, (y * 90) % 256, (x + y) % 256)  # noqa: E731
+    payload = encode_bmp(5, 3, pix)  # width 5 -> 15-byte rows, pad to 16
+    w, h, c, got = decode_bmp(payload)
+    assert (w, h, c) == (5, 3, 3)
+    assert got == [pix(x, y) for y in range(3) for x in range(5)]
+
+    feats = image_features(synth_media_assets(spark, n=20), fake=False).collect()
+    assert len(feats) == 10  # even ids are images
+    for r in feats:
+        assert r["channels"] == 3 and len(r["features"]) == 8
+        assert all(0.0 <= f <= 255.0 for f in r["features"])
+    # deterministic across invocations
+    again = image_features(synth_media_assets(spark, n=20), fake=False).collect()
+    assert [list(r["features"]) for r in again] == [list(r["features"]) for r in feats]
+
+
+def test_ppm_decode():
+    from google_like_search_engine_spark.analytics.multimodal import decode_ppm
+
+    body = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    payload = b"P6\n# comment\n2 2\n255\n" + body
+    w, h, c, pix = decode_ppm(payload)
+    assert (w, h, c) == (2, 2, 3)
+    assert pix == [(10, 20, 30), (40, 50, 60), (70, 80, 90), (100, 110, 120)]
+
+
+def test_wav_decode_real_mode(spark):
+    from google_like_search_engine_spark.analytics.multimodal import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+        synth_media_assets,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, 0]
+    sr, n, feats = decode_wav(encode_wav(8000, samples))
+    assert (sr, n) == (8000, 6)
+    assert feats[1] == 32767 / 32768.0 and feats[2] == -1.0
+    rows = audio_features(synth_media_assets(spark, n=20), fake=False).collect()
+    assert len(rows) == 10 and all(r["sample_rate"] == 8000 for r in rows)
+
+
+def test_compressed_formats_still_raise_strict(spark):
+    """PNG-ish payloads (no pure-Python codec) keep the honest strict
+    NotImplementedError."""
+    from google_like_search_engine_spark.analytics import multimodal
+
+    assets = spark.createDataFrame(
+        [(0, "image", b"\x89PNG\r\n\x1a\n" + b"x" * 64, {"width": "4"})],
+        multimodal.ASSETS_SCHEMA,
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="NotImplementedError|image library"):
+        multimodal.image_features(assets, fake=False).collect()
