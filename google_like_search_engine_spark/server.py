@@ -7,10 +7,16 @@ module is the equivalent long-lived endpoint over a built
 on the pinned serving state (engine.enable_serving's single-job BM25
 plan) so a request is one Spark job.
 
-Routes (all JSON):
-  GET /search?query=...&k=10[&scorer=bm25|tfidf]   ranked results
+Routes:
+  GET /                                            HTML search page
+  GET /search?query=...&k=10[&scorer=bm25|tfidf]   ranked results (JSON)
   GET /autocomplete?prefix=...&k=10                dictionary prefix scan
   GET /health                                      liveness + corpus size
+
+The / page is the analog of the reference's frontend
+(frontend/EntryPage.html + ResultsPage.js): a search box with
+dictionary autocomplete and a ranked result list, talking to the JSON
+routes above.
 
 Run: ``python scripts/serve.py --index <dir> --port 8080``.
 """
@@ -20,6 +26,44 @@ from __future__ import annotations
 import json
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+ENTRY_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>spark search</title>
+<style>
+ body{font-family:sans-serif;max-width:48rem;margin:3rem auto;padding:0 1rem}
+ #q{width:70%;font-size:1.1rem;padding:.4rem}
+ button{font-size:1.1rem;padding:.4rem .8rem}
+ #suggest{color:#666;font-size:.9rem;min-height:1.2rem}
+ li{margin:.3rem 0} .score{color:#999;font-size:.85rem;margin-left:.5rem}
+</style></head><body>
+<h1>spark search</h1>
+<form id="f"><input id="q" autocomplete="off" autofocus>
+<button>Search</button></form>
+<div id="suggest"></div><ol id="results"></ol>
+<script>
+const q=document.getElementById('q'),s=document.getElementById('suggest'),
+      res=document.getElementById('results');
+q.addEventListener('input',async()=>{
+  const last=q.value.split(/\\s+/).pop();
+  if(!last){s.textContent='';return}
+  const r=await fetch('/autocomplete?prefix='+encodeURIComponent(last)+'&k=5');
+  if(!r.ok)return; const js=await r.json();
+  s.textContent=js.completions.map(c=>c.term).join('  ');
+});
+document.getElementById('f').addEventListener('submit',async ev=>{
+  ev.preventDefault(); res.innerHTML='';
+  const r=await fetch('/search?query='+encodeURIComponent(q.value)+'&k=20');
+  const js=await r.json();
+  for(const row of (js.results||[])){
+    const li=document.createElement('li');
+    const a=document.createElement('a'); a.href=row.url; a.textContent=row.url;
+    const sc=document.createElement('span'); sc.className='score';
+    sc.textContent=row.score.toFixed(4);
+    li.append(a,sc); res.append(li);
+  }
+});
+</script></body></html>
+"""
 
 
 def make_server(engine, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
@@ -50,7 +94,14 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080) -> ThreadingH
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                if u.path == "/health":
+                if u.path == "/":
+                    body = ENTRY_PAGE.encode("utf-8")
+                    self.send_response(200)
+                    self.send_header("Content-Type", "text/html; charset=utf-8")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif u.path == "/health":
                     self._json(200, {"ok": True, "documents": engine.total_documents})
                 elif u.path == "/search":
                     query = q.get("query", "")

@@ -86,6 +86,15 @@ def test_negative_k_clamps_to_one(base_url):
     assert len(body["results"]) <= 1
 
 
+def test_entry_page_served(base_url):
+    with urllib.request.urlopen(f"{base_url}/", timeout=60) as resp:
+        assert resp.status == 200
+        assert resp.headers["Content-Type"].startswith("text/html")
+        body = resp.read().decode("utf-8")
+    # the page drives the JSON routes the tests above verify
+    assert "/search?query=" in body and "/autocomplete?prefix=" in body
+
+
 def test_unknown_route_is_404(base_url):
     try:
         urllib.request.urlopen(f"{base_url}/nope", timeout=60)
