@@ -13,6 +13,9 @@ Build modes:
   --blocked   adds the compressed, term-bucket-partitioned serving index
   --resumable routes through plans.lineage.checkpointed_index_build
               (per-bucket lineage + fingerprints; re-run to resume)
+  --format warc  ingest Common-Crawl-style WARC archives instead of a
+              parquet pages table (HTML-to-text extraction runs as part
+              of the build; --dictionary supplies the valid-words file)
 
 Make engine.zip: (cd repo && zip -r engine.zip google_like_search_engine_spark)
 """
@@ -29,8 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--pages", required=True, help="pages parquet path (or WARC dir with --format warc)")
     ap.add_argument("--out", required=True, help="index output dir")
+    ap.add_argument("--format", choices=["parquet", "warc"], default="parquet")
+    ap.add_argument(
+        "--dictionary",
+        help="valid-words file (one per line) for --format warc extraction; "
+        "defaults to the fixture vocabulary",
+    )
     ap.add_argument("--blocked", action="store_true")
     ap.add_argument("--pagerank", action="store_true")
     ap.add_argument("--resumable", action="store_true")
@@ -42,7 +51,19 @@ def main():
     from google_like_search_engine_spark.session import get_spark
 
     spark = get_spark("build_index")
-    pages = spark.read.parquet(args.pages)
+    if args.format == "warc":
+        from google_like_search_engine_spark.sources.warc import warc_to_pages
+
+        if args.dictionary:
+            with open(args.dictionary) as f:
+                dictionary = frozenset(w.strip() for w in f if w.strip())
+        else:
+            from google_like_search_engine_spark.corpus import fixture_dictionary
+
+            dictionary = fixture_dictionary()
+        pages = warc_to_pages(spark, args.pages, dictionary)
+    else:
+        pages = spark.read.parquet(args.pages)
 
     t0 = time.perf_counter()
     if args.resumable:

@@ -1,0 +1,158 @@
+"""WARC source/sink + HTML-to-text extraction operator.
+
+Covers: record-level parse/serialize round trip, gzip multi-member
+streams (Common Crawl layout), resync over garbage, the Spark
+write->read round trip, and the north-star per-row invariant — the
+extracted ``text`` is byte-identical per url to the corpus fixture's
+independently generated text column, so an index built from WARC input
+equals the index built from the parquet pages table.
+"""
+
+import datetime as dt
+import gzip
+
+import pytest
+
+from google_like_search_engine_spark.corpus import (
+    fixture_dictionary,
+    generate_pages,
+)
+from google_like_search_engine_spark.extract import (
+    extract_pages,
+    extracted_or_stored_text,
+)
+from google_like_search_engine_spark.indexer import build_postings, docs_from_pages
+from google_like_search_engine_spark.sources.warc import (
+    parse_warc,
+    read_warc,
+    record_bytes,
+    warc_to_pages,
+    write_warc,
+)
+
+TS = dt.datetime(2024, 3, 1, 12, 0, 5, tzinfo=dt.timezone.utc)
+
+
+def test_record_roundtrip():
+    body = b"<html><body>hello warc</body></html>"
+    raw = record_bytes("https://a.example.com/x", TS, body, content_type="text/html")
+    recs = list(parse_warc(raw))
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["url"] == "https://a.example.com/x"
+    assert r["warc_ts"] == TS
+    assert r["html"] == body
+    assert r["http_status"] == 200
+    assert r["content_type"] == "text/html"
+
+
+def test_record_bytes_deterministic():
+    a = record_bytes("https://a/x", TS, b"b")
+    assert a == record_bytes("https://a/x", TS, b"b")
+    assert a != record_bytes("https://a/y", TS, b"b")
+
+
+def test_parse_skips_non_response_and_resyncs():
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nblah\r\n\r\n"
+    )
+    good = record_bytes("https://a/1", TS, b"one")
+    stream = info + b"\x00garbage\x00" + good + b"trailing junk"
+    recs = list(parse_warc(stream))
+    assert [r["url"] for r in recs] == ["https://a/1"]
+
+
+def test_parse_multi_member_gzip():
+    r1 = gzip.compress(record_bytes("https://a/1", TS, b"one"), mtime=0)
+    r2 = gzip.compress(record_bytes("https://a/2", TS, b"two"), mtime=0)
+    data = gzip.decompress(r1 + r2)  # multi-member decompress
+    recs = list(parse_warc(data))
+    assert [r["html"] for r in recs] == [b"one", b"two"]
+
+
+def test_resource_record_body_passthrough():
+    raw = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://a/r\r\n"
+        b"WARC-Date: 2024-03-01T12:00:05Z\r\n"
+        b"Content-Length: 3\r\n\r\nxyz\r\n\r\n"
+    )
+    (r,) = parse_warc(raw)
+    assert r["html"] == b"xyz" and r["http_status"] is None
+
+
+@pytest.fixture(scope="module")
+def warc_corpus(spark, tmp_path_factory):
+    """120 fixture pages written out as gzipped WARC archives."""
+    out = str(tmp_path_factory.mktemp("warc") / "corpus")
+    pages = generate_pages(spark, 120, partitions=4).persist()
+    n = write_warc(pages, out, compress=True)
+    assert n == 120
+    return pages, out
+
+
+def test_spark_roundtrip_bytes(spark, warc_corpus):
+    pages, out = warc_corpus
+    back = read_warc(spark, out)
+    orig = {r["url"]: bytes(r["html"]) for r in pages.select("url", "html").collect()}
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in back.select("url", "html").collect()
+    }
+    assert got == orig
+    st = back.select("http_status").distinct().collect()
+    assert [r[0] for r in st] == [200]
+
+
+def test_warc_extraction_byte_identical_to_fixture_text(spark, warc_corpus):
+    pages, out = warc_corpus
+    extracted = warc_to_pages(spark, out, fixture_dictionary())
+    joined = (
+        pages.selectExpr("url", "text as want_text", "lang as want_lang")
+        .join(extracted.selectExpr("url", "text", "lang"), "url", "inner")
+        .collect()
+    )
+    assert len(joined) == 120
+    for row in joined:
+        assert row["text"] == row["want_text"], row["url"]
+        assert row["lang"] == row["want_lang"], row["url"]
+
+
+def test_index_from_warc_equals_index_from_parquet(spark, warc_corpus):
+    pages, out = warc_corpus
+    via_warc = build_postings(
+        docs_from_pages(warc_to_pages(spark, out, fixture_dictionary()))
+    )
+    via_pages = build_postings(docs_from_pages(pages))
+    a = {(r["term"], r["doc_id"], r["tf"]) for r in
+         via_warc.select("term", "doc_id", "tf").collect()}
+    b = {(r["term"], r["doc_id"], r["tf"]) for r in
+         via_pages.select("term", "doc_id", "tf").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_extracted_or_stored_text_passthrough(spark):
+    pages = generate_pages(spark, 5)
+    assert extracted_or_stored_text(pages) is pages
+    raw = pages.drop("text")
+    with pytest.raises(ValueError):
+        extracted_or_stored_text(raw)
+    out = extracted_or_stored_text(raw, fixture_dictionary())
+    assert "text" in out.columns
+
+
+def test_extract_handles_null_and_bad_bytes(spark):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["https://x/1", "https://x/2"],
+            "warc_ts": [TS, TS],
+            "html": [None, b"\xff\xfe<html lang=\"en\"><body>apples</body></html>"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = extract_pages(df, fixture_dictionary()).collect()
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["https://x/1"]["text"] in (None, "")
+    assert "apples" in (by_url["https://x/2"]["text"] or "")
