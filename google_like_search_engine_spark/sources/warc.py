@@ -197,32 +197,65 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     file scan (one task per archive) -> Arrow-batched parse. Column
     ``warc_file`` carries provenance for per-partition lineage."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc(_maybe_decompress(bytes(content))):
-                    rec["warc_file"] = fpath
-                    rows.append(rec)
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "url",
-                    "warc_ts",
-                    "html",
-                    "http_status",
-                    "content_type",
-                    "warc_file",
-                ],
-            ).astype({"http_status": "Int32"})
-
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
         .select("path", "content")
     )
-    return raw.mapInPandas(run, schema=WARC_RECORDS_SCHEMA)
+    return raw.mapInPandas(_parse_file_batches, schema=WARC_RECORDS_SCHEMA)
+
+
+def _parse_file_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(path, content) Arrow batches -> WARC_RECORDS_SCHEMA batches."""
+    for pdf in batches:
+        rows = []
+        for fpath, content in zip(pdf["path"], pdf["content"]):
+            for rec in parse_warc(_maybe_decompress(bytes(content))):
+                rec["warc_file"] = fpath
+                rows.append(rec)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "url",
+                "warc_ts",
+                "html",
+                "http_status",
+                "content_type",
+                "warc_file",
+            ],
+        ).astype({"http_status": "Int32"})
+
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc(spark: SparkSession, path: str, dictionary=None) -> DataFrame:
+    """Streaming twin of ``read_warc``: new ``*.warc[.gz]`` files
+    landing under ``path`` become record micro-batches (file source
+    checkpoint log = exactly-once per archive). With ``dictionary``,
+    extraction runs in-stream and the result is a streaming pages
+    table ready for ``streaming.index_stream.incremental_index`` —
+    continuous crawl ingestion end to end. All stages are stateless
+    (parse + extract are narrow mapInPandas), so no watermark is
+    needed."""
+
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+    recs = raw.mapInPandas(_parse_file_batches, schema=WARC_RECORDS_SCHEMA)
+    if dictionary is None:
+        return recs
+    from ..extract import extract_pages
+
+    ok = recs.where((recs.http_status.isNull()) | (recs.http_status == 200))
+    return extract_pages(ok, dictionary)
 
 
 def warc_to_pages(spark: SparkSession, path: str, dictionary) -> DataFrame:

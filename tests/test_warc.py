@@ -10,6 +10,7 @@ equals the index built from the parquet pages table.
 
 import datetime as dt
 import gzip
+import os
 
 import pytest
 
@@ -156,3 +157,98 @@ def test_extract_handles_null_and_bad_bytes(spark):
     by_url = {r["url"]: r for r in rows}
     assert by_url["https://x/1"]["text"] in (None, "")
     assert "apples" in (by_url["https://x/2"]["text"] or "")
+
+
+def test_latest_capture_newest_wins(spark):
+    import pandas as pd
+
+    rows = pd.DataFrame(
+        {
+            "url": ["u1", "u1", "u2", "u1"],
+            "warc_ts": [
+                dt.datetime(2024, 1, 1),
+                dt.datetime(2024, 1, 3),
+                dt.datetime(2024, 1, 2),
+                dt.datetime(2024, 1, 2),
+            ],
+            "html": [b"old", b"newest", b"only", b"mid"],
+        }
+    )
+    from google_like_search_engine_spark.extract import latest_capture
+
+    out = {
+        r["url"]: bytes(r["html"])
+        for r in latest_capture(spark.createDataFrame(rows)).collect()
+    }
+    assert out == {"u1": b"newest", "u2": b"only"}
+
+
+def test_latest_capture_tie_deterministic(spark):
+    import pandas as pd
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = pd.DataFrame(
+        {"url": ["u", "u"], "warc_ts": [ts, ts], "html": [b"aaa", b"bbb"]}
+    )
+    from google_like_search_engine_spark.extract import latest_capture
+
+    picked = {
+        bytes(latest_capture(spark.createDataFrame(rows.sample(frac=1.0, random_state=s)))
+              .collect()[0]["html"])
+        for s in range(3)
+    }
+    assert len(picked) == 1  # same winner regardless of input order
+
+
+def test_stream_warc_incremental_index(spark, tmp_path):
+    """Continuous crawl ingestion: WARC files land -> streaming extract
+    -> incremental index; after two drains the compacted index equals
+    the one-shot batch build over the union of all captures."""
+    from google_like_search_engine_spark.sources.warc import stream_warc
+    from google_like_search_engine_spark.streaming.index_stream import (
+        compact_index,
+        incremental_index,
+    )
+
+    warc_dir = str(tmp_path / "landing")
+    idx_dir = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    words = fixture_dictionary()
+
+    all_pages = generate_pages(spark, 80, partitions=2).persist()
+    # deterministic split by the page number baked into the url (limit()
+    # would pick different rows on recompute)
+    page_no = "cast(regexp_extract(url, 'page(\\\\d+)\\\\.html', 1) as int)"
+    first = all_pages.where(f"{page_no} < 50")
+    write_warc(first, warc_dir, compress=True)
+
+    def drain():
+        stream = stream_warc(spark, warc_dir, words)
+        q = incremental_index(stream, idx_dir, ckpt)
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(idx_dir).select("doc_id").distinct().count()
+    assert 0 < n1 <= 50
+
+    # second batch of archives lands (staged under a different name so
+    # the file source sees them as new; batch-1 files are not re-read
+    # thanks to the checkpoint log)
+    import glob
+    import shutil
+
+    staging = str(tmp_path / "staging")
+    write_warc(all_pages.where(f"{page_no} >= 50"), staging, compress=True)
+    for i, f in enumerate(sorted(glob.glob(staging + "/*.warc.gz"))):
+        shutil.move(f, os.path.join(warc_dir, f"late-{i:05d}.warc.gz"))
+
+    drain()
+    compacted = compact_index(spark, idx_dir)
+
+    batch = build_postings(docs_from_pages(all_pages))
+    a = {(r["term"], r["doc_id"], r["tf"]) for r in
+         compacted.select("term", "doc_id", "tf").collect()}
+    b = {(r["term"], r["doc_id"], r["tf"]) for r in
+         batch.select("term", "doc_id", "tf").collect()}
+    assert a == b and len(a) > 0
+    all_pages.unpersist()
