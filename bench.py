@@ -90,6 +90,31 @@ def main():
     results["index_build"] = round(dt_build, 3)
     docs_per_sec = n_docs / dt_build if dt_build else 0.0
 
+    # --- WARC ingestion throughput (Common-Crawl-style source) ---
+    # fixed-size deterministic archive corpus, generated once and
+    # reused across runs; measures read->parse->extract->postings
+    from google_like_search_engine_spark.corpus import (
+        fixture_dictionary,
+        generate_pages,
+    )
+    from google_like_search_engine_spark.indexer import docs_from_pages
+    from google_like_search_engine_spark.sources.warc import (
+        warc_to_pages,
+        write_warc,
+    )
+
+    n_warc = 2000
+    warc_dir = f"/tmp/bench_warc_{n_warc}"
+    if not os.path.isdir(warc_dir):
+        write_warc(generate_pages(spark, n_warc, partitions=CPUS), warc_dir)
+
+    def _ingest():
+        pages = warc_to_pages(spark, warc_dir, fixture_dictionary())
+        return build_postings(docs_from_pages(pages)).count()
+
+    dt_warc = min(timed(_ingest)[0] for _ in range(2))
+    warc_docs_per_sec = n_warc / dt_warc if dt_warc else 0.0
+
     # --- BM25 query latency over the built flat postings ---
     postings = build_postings(docs).cache()
     postings.count()
@@ -165,6 +190,7 @@ def main():
                 "cpus": CPUS,
                 "n_docs": n_docs,
                 "index_docs_per_sec": round(docs_per_sec, 1),
+                "warc_ingest_docs_per_sec": round(warc_docs_per_sec, 1),
                 "bm25_p50_ms": round(statistics.median(lat), 1),
                 "bm25_p95_ms": round(
                     sorted(lat)[max(0, int(len(lat) * 0.95) - 1)], 1
