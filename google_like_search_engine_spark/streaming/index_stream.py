@@ -30,6 +30,7 @@ def incremental_index(
     out_dir: str,
     checkpoint_dir: str,
     postings_fn=None,
+    processing_interval: float | None = None,
 ):
     """Start the incremental build; returns the StreamingQuery.
 
@@ -42,6 +43,10 @@ def incremental_index(
     over a pages batch. The driver-gate entry passes the plain
     space-tokenized form so the streamed+compacted index is
     SQL-oracle-checkable.
+
+    ``processing_interval``: None (default) drains what exists and
+    stops (availableNow); a number keeps the query live, folding in
+    newly landed files every that-many seconds.
     """
     from ..indexer import docs_from_pages
 
@@ -57,12 +62,14 @@ def incremental_index(
             .parquet(out_dir)
         )
 
-    return (
-        pages_stream.writeStream.foreachBatch(process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = pages_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if processing_interval is None:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{processing_interval} seconds")
+    return writer.start()
 
 
 def compact_index(spark: SparkSession, out_dir: str) -> DataFrame:
