@@ -15,6 +15,9 @@ round-trip the built index through parquet (Iceberg on a real cluster).
 
 from __future__ import annotations
 
+import json
+import time
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .compression import assign_doc_indexes, block_postings
@@ -35,12 +38,23 @@ class SearchEngine:
         self.pageranks: DataFrame | None = None
         self.total_documents: int = 0
         self._avgdl: float | None = None
+        self.build_metrics: dict = {}
 
     # -- build ------------------------------------------------------------
 
     def build(self, pages: DataFrame, run_pagerank: bool = True,
-              pagerank_threshold: float = 0.001) -> "SearchEngine":
-        """pages(url, text[, html, lang]) -> cached index + pageranks."""
+              pagerank_threshold: float = 0.001,
+              collect_metrics: bool = False) -> "SearchEngine":
+        """pages(url, text[, html, lang]) -> cached index + pageranks.
+
+        ``collect_metrics``: record per-phase wall time and
+        per-partition posting counts into ``self.build_metrics``
+        (north-rule lineage+metrics; ``save`` persists them as a
+        sidecar). Off by default — the extra count jobs are cheap over
+        the persisted relations but not free.
+        """
+        t0 = time.perf_counter()
+        phases = {}
         docs = docs_from_pages(pages)
         self.postings = build_postings(docs).persist()
         self.doc_stats = (
@@ -49,23 +63,47 @@ class SearchEngine:
             .persist()
         )
         self.total_documents = self.doc_stats.count()
+        phases["tokenize_and_doc_stats_sec"] = time.perf_counter() - t0
         self._avgdl = float(
             self.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0] or 1.0
         )
         # dictionary table: per-term df precomputed once at build time
         # so BM25 queries skip the per-query df aggregation
+        t1 = time.perf_counter()
         self.term_df = (
             self.postings.groupBy("term")
             .agg(F.countDistinct("doc_id").alias("df"))
             .persist()
         )
         self.term_df.count()
+        phases["term_dictionary_sec"] = time.perf_counter() - t1
         if run_pagerank:
+            t2 = time.perf_counter()
             self.pageranks = pagerank(
                 vertices_from_pages(pages),
                 extract_edges(pages),
                 threshold=pagerank_threshold,
             ).persist()
+            phases["pagerank_sec"] = time.perf_counter() - t2
+        if collect_metrics:
+            per_part = (
+                self.postings.groupBy(F.spark_partition_id().alias("partition"))
+                .agg(F.count(F.lit(1)).alias("rows"))
+                .collect()
+            )
+            self.build_metrics = {
+                "n_docs": self.total_documents,
+                "n_postings": sum(r["rows"] for r in per_part),
+                "n_terms": self.term_df.count(),
+                "avgdl": self._avgdl,
+                "phases_sec": {k: round(v, 3) for k, v in phases.items()},
+                "total_sec": round(time.perf_counter() - t0, 3),
+                "partitions": sorted(
+                    ({"partition": r["partition"], "rows": r["rows"]}
+                     for r in per_part),
+                    key=lambda d: d["partition"],
+                ),
+            }
         return self
 
     def merge_pages(self, pages_delta: DataFrame) -> "SearchEngine":
@@ -132,6 +170,17 @@ class SearchEngine:
             self.term_df.write.mode("overwrite").parquet(f"{path}/term_df")
         if self.pageranks is not None:
             self.pageranks.write.mode("overwrite").parquet(f"{path}/pageranks")
+        if self.build_metrics:
+            # Hadoop FS stream so metrics land next to the parquet on
+            # any scheme (local, HDFS, object store), not just file://
+            jvm = self.spark.sparkContext._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/build_metrics.json")
+            fs = jpath.getFileSystem(
+                self.spark.sparkContext._jsc.hadoopConfiguration()
+            )
+            out = fs.create(jpath, True)
+            out.write(bytearray(json.dumps(self.build_metrics, indent=1), "utf-8"))
+            out.close()
 
     # -- blocked (compressed, term-bucket-partitioned) layout ---------------
 

@@ -82,8 +82,15 @@ def main():
             pages,
             run_pagerank=args.pagerank,
             pagerank_threshold=args.pagerank_threshold,
+            collect_metrics=True,
         )
         eng.save(args.out)
+        m = eng.build_metrics
+        print(
+            f"metrics: {m['n_postings']} postings, {m['n_terms']} terms, "
+            f"{len(m['partitions'])} partitions, phases {m['phases_sec']} "
+            f"-> {args.out}/build_metrics.json"
+        )
         if args.blocked:
             eng.save_blocked(os.path.join(args.out, "blocked"))
         n_docs = eng.total_documents

@@ -167,3 +167,29 @@ def test_save_blocked_invalidates_stale_handles(spark, tmp_path):
     assert [r["url"] for r in got] == [r["url"] for r in expect]
     eng.unpersist()
     eng2.unpersist()
+
+
+def test_build_metrics_sidecar(spark, tmp_path):
+    eng = SearchEngine(spark).build(
+        generate_pages(spark, 30), run_pagerank=False, collect_metrics=True
+    )
+    m = eng.build_metrics
+    assert m["n_docs"] == eng.total_documents > 0
+    assert m["n_terms"] > 0 and m["n_postings"] > 0
+    # per-partition rows must account for every posting
+    assert sum(p["rows"] for p in m["partitions"]) == m["n_postings"]
+    assert set(m["phases_sec"]) == {"tokenize_and_doc_stats_sec",
+                                    "term_dictionary_sec"}
+    out = str(tmp_path / "idx")
+    eng.save(out)
+    import json as _json
+
+    with open(out + "/build_metrics.json") as f:
+        assert _json.load(f)["n_postings"] == m["n_postings"]
+    eng.unpersist()
+
+
+def test_build_without_metrics_is_default(spark):
+    eng = SearchEngine(spark).build(generate_pages(spark, 10), run_pagerank=False)
+    assert eng.build_metrics == {}
+    eng.unpersist()
