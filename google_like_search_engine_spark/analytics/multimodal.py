@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes, UDF
-signatures — is real and tested. Decoding is REAL for the uncompressed
-formats a pure-Python parser can handle without media libraries:
-- images: BMP (BI_RGB 24/32-bit) and PPM (P6, maxval 255),
+signatures — is real and tested. Decoding is REAL for the formats a
+pure-Python parser can handle without media libraries:
+- images: BMP (BI_RGB 24/32-bit), PPM (P6, maxval 255), and PNG
+  (8-bit grey/RGB/RGBA, non-interlaced, all five filters — stdlib
+  zlib does the inflate),
 - audio: PCM WAV (stdlib ``wave``).
-Compressed formats (PNG/JPEG/MP3/MP4) still raise NotImplementedError
+Lossy codec formats (JPEG/MP3/MP4) still raise NotImplementedError
 in strict mode — those need codec libraries this environment doesn't
 ship — or produce a deterministic payload-derived fake in fake mode
 (used to exercise the 1->N frame-sampling shape and batch plumbing).
@@ -130,6 +132,117 @@ def decode_ppm(payload: bytes):
     return w, h, 3, pix
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes):
+    """Pure-Python PNG decoder (stdlib zlib): 8-bit greyscale / RGB /
+    RGBA, non-interlaced, all five scanline filters (None/Sub/Up/
+    Average/Paeth). -> (width, height, channels, pixels [(r,g,b)]).
+    16-bit, palette, and Adam7-interlaced images raise — honestly
+    unimplemented, not faked."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} "
+            "not supported (8-bit grey/RGB/RGBA, non-interlaced only)"
+        )
+    nch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    prev = bytearray(stride)
+    pix = []
+    off = 0
+    for _row in range(h):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                up_left = prev[i - nch] if i >= nch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        for x in range(w):
+            b0 = x * nch
+            if nch == 1:
+                pix.append((line[b0], line[b0], line[b0]))
+            else:  # RGB / RGBA (alpha dropped)
+                pix.append((line[b0], line[b0 + 1], line[b0 + 2]))
+        prev = line
+    return w, h, nch, pix
+
+
+def encode_png(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal deterministic 8-bit RGB PNG writer (filter 0 rows, one
+    zlib stream); ``pixel_fn(x, y) -> (r, g, b)``. Synthesizes REAL
+    compressed image payloads for tests without any image library."""
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    scan = bytearray()
+    for y in range(height):
+        scan.append(0)  # filter: None
+        for x in range(width):
+            r, g, b = pixel_fn(x, y)
+            scan += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(scan), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image_batch(payload: bytes, meta: dict, fake: bool):
     """Decode one image payload to (w, h, channels, features[8]).
 
@@ -140,10 +253,12 @@ def decode_image_batch(payload: bytes, meta: dict, fake: bool):
         return _with_features(decode_bmp(payload))
     if payload[:2] == b"P6":
         return _with_features(decode_ppm(payload))
+    if payload[:8] == _PNG_SIG:
+        return _with_features(decode_png(payload))
     if not fake:
         raise NotImplementedError(
-            "compressed image decode requires an image library not present "
-            "in this environment; supply BMP/PPM payloads, run with "
+            "decode for this format requires an image library not present "
+            "in this environment; supply BMP/PPM/PNG payloads, run with "
             "fake=True, or plug in a real decoder"
         )
     w = int(meta.get("width", 16))
@@ -307,7 +422,11 @@ def synth_media_assets(spark, n: int = 30) -> DataFrame:
     for i in range(n):
         if i % 2 == 0:
             w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
-            payload = encode_bmp(
+            # alternate container formats over the SAME pixel grid:
+            # features are format-independent, so BMP and PNG assets
+            # exercise both real decoders with identical outputs
+            encoder = encode_bmp if i % 4 == 0 else encode_png
+            payload = encoder(
                 w, h,
                 lambda x, y, i=i: (
                     (x * 37 + i * 11) % 256,

@@ -338,16 +338,157 @@ def test_wav_decode_real_mode(spark):
     assert len(rows) == 10 and all(r["sample_rate"] == 8000 for r in rows)
 
 
-def test_compressed_formats_still_raise_strict(spark):
-    """PNG-ish payloads (no pure-Python codec) keep the honest strict
-    NotImplementedError."""
+def test_lossy_formats_still_raise_strict(spark):
+    """JPEG payloads (no pure-Python codec) keep the honest strict
+    NotImplementedError; PNG is now really decoded."""
     from google_like_search_engine_spark.analytics import multimodal
 
     assets = spark.createDataFrame(
-        [(0, "image", b"\x89PNG\r\n\x1a\n" + b"x" * 64, {"width": "4"})],
+        [(0, "image", b"\xff\xd8\xff\xe0" + b"x" * 64, {"width": "4"})],
         multimodal.ASSETS_SCHEMA,
     )
     import pytest as _pt
 
     with _pt.raises(Exception, match="NotImplementedError|image library"):
         multimodal.image_features(assets, fake=False).collect()
+
+
+def test_png_encode_decode_roundtrip():
+    from google_like_search_engine_spark.analytics.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    pix = lambda x, y: ((x * 31) % 256, (y * 77) % 256, (x * y) % 256)  # noqa: E731
+    w, h, c, got = decode_png(encode_png(7, 5, pix))
+    assert (w, h, c) == (7, 5, 3)
+    assert got == [pix(x, y) for y in range(5) for x in range(7)]
+    # deterministic bytes
+    assert encode_png(7, 5, pix) == encode_png(7, 5, pix)
+
+
+def _png_from_filtered(w, h, color, scanlines):
+    """Assemble a PNG from pre-filtered scanlines (filter byte + data)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(scanlines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_all_filter_types_unfilter_correctly():
+    """Rows filtered with Sub/Up/Average/Paeth (the encoder never emits
+    them) must reconstruct the exact pixels."""
+    from google_like_search_engine_spark.analytics.multimodal import (
+        _paeth,
+        decode_png,
+    )
+
+    w, h, nch = 4, 5, 3
+    want = [
+        [((x * 23 + y * 71 + c * 13) % 256) for x in range(w) for c in range(nch)]
+        for y in range(h)
+    ]
+
+    def filt(ftype, row, prev):
+        out = bytearray([ftype])
+        for i, v in enumerate(row):
+            left = row[i - nch] if i >= nch else 0
+            up = prev[i]
+            ul = prev[i - nch] if i >= nch else 0
+            pred = {0: 0, 1: left, 2: up, 3: (left + up) >> 1,
+                    4: _paeth(left, up, ul)}[ftype]
+            out.append((v - pred) & 0xFF)
+        return bytes(out)
+
+    prev = [0] * (w * nch)
+    lines = []
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        lines.append(filt(ftype, want[y], prev))
+        prev = want[y]
+
+    dw, dh, dc, pix = decode_png(_png_from_filtered(w, h, 2, lines))
+    assert (dw, dh, dc) == (w, h, nch)
+    flat = [v for px in pix for v in px]
+    assert flat == [v for row in want for v in row]
+
+
+def test_png_gray_and_rgba():
+    from google_like_search_engine_spark.analytics.multimodal import decode_png
+
+    # 2x2 grayscale, filter 0 rows
+    g = _png_from_filtered(2, 2, 0, [bytes([0, 10, 20]), bytes([0, 30, 40])])
+    w, h, c, pix = decode_png(g)
+    assert (w, h, c) == (2, 2, 1)
+    assert pix == [(10, 10, 10), (20, 20, 20), (30, 30, 30), (40, 40, 40)]
+    # 1x2 RGBA: alpha dropped
+    r = _png_from_filtered(
+        1, 2, 6, [bytes([0, 1, 2, 3, 255]), bytes([0, 4, 5, 6, 0])]
+    )
+    w, h, c, pix = decode_png(r)
+    assert (w, h, c) == (1, 2, 4)
+    assert pix == [(1, 2, 3), (4, 5, 6)]
+
+
+def test_png_unsupported_shapes_raise():
+    import struct
+    import zlib
+
+    import pytest as _pt
+
+    from google_like_search_engine_spark.analytics.multimodal import decode_png
+
+    def png_with_ihdr(depth, color, interlace):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+
+    with _pt.raises(NotImplementedError):
+        decode_png(png_with_ihdr(16, 2, 0))  # 16-bit
+    with _pt.raises(NotImplementedError):
+        decode_png(png_with_ihdr(8, 3, 0))  # palette
+    with _pt.raises(NotImplementedError):
+        decode_png(png_with_ihdr(8, 2, 1))  # interlaced
+    with _pt.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")  # no IHDR
+
+
+def test_png_strict_mode_through_spark(spark):
+    """image_features strict mode over genuine PNG payloads."""
+    from google_like_search_engine_spark.analytics.multimodal import (
+        ASSETS_SCHEMA,
+        encode_png,
+        image_features,
+    )
+
+    rows = [
+        (
+            i,
+            "image",
+            encode_png(6 + i, 4, lambda x, y, i=i: ((x * i) % 256, y, (x + y) % 256)),
+            {"width": str(6 + i)},
+        )
+        for i in range(4)
+    ]
+    got = image_features(spark.createDataFrame(rows, ASSETS_SCHEMA), fake=False)
+    out = {r["asset_id"]: r for r in got.collect()}
+    assert len(out) == 4
+    for i in range(4):
+        assert out[i]["width"] == 6 + i and out[i]["height"] == 4
+        assert len(out[i]["features"]) == 8
