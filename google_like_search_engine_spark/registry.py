@@ -315,6 +315,20 @@ EXTRA_QUERIES = {
     "rolling_fingerprints": _rolling_fingerprints,
 }
 
+# Oracle-checked like QUERIES (tests/test_oracle_parity.py runs the
+# same row/schema/value comparison) but outside the 50-entry driver
+# gate: extended TPC-H coverage over the simplified testdata schema.
+EXTRA_ORACLE_QUERIES = {
+    "tpch_q4_style": (c.tpch_q4_style, c.TPCH_Q4_STYLE_SQL),
+    "tpch_q7": (c.tpch_q7, c.TPCH_Q7_SQL),
+    "tpch_q8_style": (c.tpch_q8_style, c.TPCH_Q8_STYLE_SQL),
+    "tpch_q10": (c.tpch_q10, c.TPCH_Q10_SQL),
+    "tpch_q12_style": (c.tpch_q12_style, c.TPCH_Q12_STYLE_SQL),
+    "tpch_q13": (c.tpch_q13, c.TPCH_Q13_SQL),
+    "tpch_q14": (c.tpch_q14, c.TPCH_Q14_SQL),
+    "tpch_q19_style": (c.tpch_q19_style, c.TPCH_Q19_STYLE_SQL),
+}
+
 # The exact driver-gate surface and order: 45 oracle + 5 rows-only = 50.
 # Headline text/search/dedup/analytics entries and every rows-only entry
 # sit in the first ~24 slots; the cheap flame inventory fills the tail.

@@ -9,11 +9,14 @@ import duckdb
 import pytest
 
 from google_like_search_engine_spark.registry import (
+    EXTRA_ORACLE_QUERIES,
     EXTRA_QUERIES,
     NO_ORACLE_QUERIES,
     QUERIES,
     QUERY_ORDER,
 )
+
+ALL_ORACLE = {**QUERIES, **EXTRA_ORACLE_QUERIES}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -43,9 +46,9 @@ def _row_key(row, cols_order):
     return tuple(_norm(row[i]) for i in cols_order)
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(ALL_ORACLE))
 def test_query_matches_oracle(spark, sf_dir, name):
-    fn, sql = QUERIES[name]
+    fn, sql = ALL_ORACLE[name]
     sdf = fn(spark, sf_dir)
     spark_cols = [c.lower() for c in sdf.columns]
     srows = sdf.collect()
