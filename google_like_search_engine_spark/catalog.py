@@ -1050,3 +1050,64 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 20 AND 30)
 """
+
+
+def tpch_q17_style(spark, sf_dir):
+    """Q17 small-quantity-order revenue, adapted: no brand/container
+    filter (keeps the result non-empty at sf0.001); the correlated
+    per-part average-quantity subquery is the point and is kept
+    verbatim. Determinism note: l_quantity is integral in testdata, so
+    avg() is an exact-rational-to-double division that both engines
+    compute identically — the < boundary cannot drift."""
+    li = load(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(per_part), li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 3).alias("avg_yearly"))
+    )
+
+
+TPCH_Q17_STYLE_SQL = """
+SELECT round(sum(l_extendedprice) / 7.0, 3) AS avg_yearly
+FROM lineitem l
+WHERE l_quantity < (
+  SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+"""
+
+
+def tpch_q22_style(spark, sf_dir):
+    """Q22 global-sales-opportunity, adapted: no phone column, so the
+    country-code grouping becomes c_nationkey; the shape — positive
+    above-average balance, anti join against orders — is Q22's. The
+    avg boundary: c_acctbal carries real fractional values, so an
+    exactly-at-average customer is measure-zero; both engines compute
+    sum/count in double."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 3).alias("totacctbal"),
+        )
+    )
+
+
+TPCH_Q22_STYLE_SQL = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 3) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_nationkey
+"""

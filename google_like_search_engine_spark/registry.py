@@ -327,6 +327,8 @@ EXTRA_ORACLE_QUERIES = {
     "tpch_q13": (c.tpch_q13, c.TPCH_Q13_SQL),
     "tpch_q14": (c.tpch_q14, c.TPCH_Q14_SQL),
     "tpch_q19_style": (c.tpch_q19_style, c.TPCH_Q19_STYLE_SQL),
+    "tpch_q17_style": (c.tpch_q17_style, c.TPCH_Q17_STYLE_SQL),
+    "tpch_q22_style": (c.tpch_q22_style, c.TPCH_Q22_STYLE_SQL),
 }
 
 # The exact driver-gate surface and order: 45 oracle + 5 rows-only = 50.
