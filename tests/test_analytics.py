@@ -492,3 +492,27 @@ def test_png_strict_mode_through_spark(spark):
     for i in range(4):
         assert out[i]["width"] == 6 + i and out[i]["height"] == 4
         assert len(out[i]["features"]) == 8
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**31),
+)
+def test_png_roundtrip_property(w, h, seed):
+    from google_like_search_engine_spark.analytics.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    def pix(x, y):
+        v = (x * 2654435761 + y * 40503 + seed) & 0xFFFFFFFF
+        return (v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF)
+
+    dw, dh, dc, got = decode_png(encode_png(w, h, pix))
+    assert (dw, dh, dc) == (w, h, 3)
+    assert got == [pix(x, y) for y in range(h) for x in range(w)]

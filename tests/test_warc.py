@@ -252,3 +252,56 @@ def test_stream_warc_incremental_index(spark, tmp_path):
          batch.select("term", "doc_id", "tf").collect()}
     assert a == b and len(a) > 0
     all_pages.unpersist()
+
+
+# ---- property tests (hypothesis) ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_url_st = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126,
+                           exclude_characters="\r\n"),
+    min_size=1, max_size=80,
+).map(lambda s: "https://h.example.com/" + s)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    url=_url_st,
+    body=st.binary(max_size=2048),
+    seconds=st.integers(0, 2_000_000_000),
+)
+def test_record_roundtrip_property(url, body, seconds):
+    ts = dt.datetime.fromtimestamp(seconds, tz=dt.timezone.utc)
+    recs = list(parse_warc(record_bytes(url, ts, body)))
+    assert len(recs) == 1
+    assert recs[0]["url"] == url
+    assert recs[0]["html"] == body
+    assert recs[0]["warc_ts"] == ts
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bodies=st.lists(st.binary(max_size=512), min_size=1, max_size=8),
+    junk=st.binary(max_size=64),
+)
+def test_concatenated_records_with_junk_property(bodies, junk):
+    """A stream of records with arbitrary junk between them parses
+    every record (resync on the WARC/ magic) as long as the junk
+    doesn't itself contain the magic."""
+    import gzip as _gz
+
+    if b"WARC/" in junk:
+        junk = junk.replace(b"WARC/", b"XXXX/")
+    stream = junk.join(
+        record_bytes(f"https://a/{i}", TS, b) for i, b in enumerate(bodies)
+    )
+    recs = list(parse_warc(stream))
+    assert [r["html"] for r in recs] == bodies
+    # and the gzip multi-member form decodes identically
+    gz = b"".join(
+        _gz.compress(record_bytes(f"https://a/{i}", TS, b), mtime=0)
+        for i, b in enumerate(bodies)
+    )
+    recs2 = list(parse_warc(_gz.decompress(gz)))
+    assert [r["html"] for r in recs2] == bodies
