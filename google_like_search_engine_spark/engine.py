@@ -269,10 +269,19 @@ class SearchEngine:
             cache = self._blocked_cache = {}
         if index_path not in cache:
             blocks = self.spark.read.parquet(f"{index_path}/blocks")
-            doc_stats_idx = self.spark.read.parquet(
-                f"{index_path}/doc_stats_idx"
-            ).persist()
             total, stats, term_stats = self._read_sidecars(index_path)
+            doc_stats_idx = self.spark.read.parquet(f"{index_path}/doc_stats_idx")
+            if total is not None:
+                # right-size the cached dimension (~250k rows/partition):
+                # the per-query url lookup probes every cached partition,
+                # so a small corpus cached across 32 file-splits pays 32
+                # scheduled tasks per query for no parallelism gain.
+                # coalesce only ever reduces, so at 10^12 docs this is a
+                # no-op and the dimension stays fully distributed.
+                doc_stats_idx = doc_stats_idx.coalesce(
+                    max(1, -(-total // 250_000))
+                )
+            doc_stats_idx = doc_stats_idx.persist()
             if total is None:
                 total = doc_stats_idx.count()
             cache[index_path] = (blocks, doc_stats_idx, total, stats, term_stats)

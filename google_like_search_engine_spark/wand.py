@@ -177,10 +177,14 @@ def blocked_maxscore_topk(
                 .orderBy(F.desc("score"), F.asc("doc_index"))
                 .limit(k)
             )
+            # k rows: coalesce(1)+sortWithinPartitions gives the same
+            # global order on collect WITHOUT a range-partitioning
+            # exchange (whose sampling pass is a whole extra job)
             out = (
                 topk.join(doc_stats_idx.select("doc_index", "url"), "doc_index")
                 .select("url", "score")
-                .orderBy(F.desc("score"), F.asc("url"))
+                .coalesce(1)
+                .sortWithinPartitions(F.desc("score"), F.asc("url"))
             )
         else:
             full = (
