@@ -737,3 +737,24 @@ SELECT u.vec_id,
 FROM u JOIN uq USING (pos)
 GROUP BY u.vec_id
 """
+
+
+PROXIMITY = ("table", "scan")
+PROXIMITY_WINDOW = 5
+
+PROXIMITY_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE w <> ''
+)
+SELECT t1.doc_id, count(*) AS n_matches
+FROM toks t1
+WHERE t1.w = '{PROXIMITY[0]}'
+  AND EXISTS (SELECT 1 FROM toks t2
+              WHERE t2.doc_id = t1.doc_id AND t2.w = '{PROXIMITY[1]}'
+                AND abs(t2.pos - t1.pos) <= {PROXIMITY_WINDOW})
+GROUP BY t1.doc_id
+"""

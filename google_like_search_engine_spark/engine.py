@@ -404,7 +404,34 @@ class SearchEngine:
             if buckets:
                 blocks = blocks.where(F.col("term_bucket").isin(buckets))
         return blocked_phrase_topk(
-            self.spark, phrase, blocks.drop("term_bucket"), doc_stats_idx, k=k
+            self.spark, phrase, blocks.drop("term_bucket"), doc_stats_idx, k=k,
+        )
+
+    def search_proximity_blocked(
+        self, index_path: str, terms: list, window: int = 5, k: int = 10
+    ) -> DataFrame:
+        """Proximity query (all ``terms`` within ``window`` tokens of
+        each anchor occurrence of ``terms[0]``) off the blocked index's
+        positions store, with the same term-bucket partition pruning and
+        dictionary short-circuit as the phrase path."""
+        from .wand import blocked_proximity_topk
+
+        blocks, doc_stats_idx, _total, _stats, term_stats = self._blocked_handles(
+            index_path
+        )
+        words = [w.lower() for w in terms if w]
+        if not words:
+            return self.spark.createDataFrame([], "url string, n_matches long")
+        if term_stats is not None:
+            if any(w not in term_stats for w in words):
+                return self.spark.createDataFrame([], "url string, n_matches long")
+            buckets = sorted(
+                {term_stats[w][2] for w in words if term_stats[w][2] is not None}
+            )
+            if buckets:
+                blocks = blocks.where(F.col("term_bucket").isin(buckets))
+        return blocked_proximity_topk(
+            self.spark, words, window, blocks.drop("term_bucket"), doc_stats_idx, k=k
         )
 
     def load(self, path: str, with_pageranks: bool = True) -> "SearchEngine":

@@ -331,6 +331,43 @@ EXTRA_ORACLE_QUERIES = {
     "tpch_q22_style": (c.tpch_q22_style, c.TPCH_Q22_STYLE_SQL),
 }
 
+
+def _proximity_search_blocked(spark, sf_dir):
+    """Window-proximity query off the blocked index positions store
+    (anchor occurrences of PROXIMITY[0] with PROXIMITY[1] within
+    PROXIMITY_WINDOW tokens), checked against a relational EXISTS
+    oracle over renumbered token positions — valid for the same reason
+    as phrase_search_blocked (no blank tokens in the documents table).
+    """
+    from .compression import assign_doc_indexes, block_postings
+    from .indexer import build_postings
+    from .wand import blocked_proximity_topk
+
+    docs = c.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+    )
+    postings = build_postings(docs)
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(F.broadcast(idx), "doc_id"))
+    dsi = (
+        postings.groupBy("doc_id", "url")
+        .agg(F.sum("tf").alias("n_term_entries"))
+        .join(F.broadcast(idx), "doc_id")
+        .select("doc_index", "url", "n_term_entries")
+    )
+    out = blocked_proximity_topk(
+        spark, list(t.PROXIMITY), t.PROXIMITY_WINDOW, blocks, dsi, k=1_000_000
+    )
+    return out.select(F.col("url").cast("long").alias("doc_id"), "n_matches")
+
+
+EXTRA_ORACLE_QUERIES["proximity_search_blocked"] = (
+    _proximity_search_blocked,
+    t.PROXIMITY_SEARCH_SQL,
+)
+
 # The exact driver-gate surface and order: 45 oracle + 5 rows-only = 50.
 # Headline text/search/dedup/analytics entries and every rows-only entry
 # sit in the first ~24 slots; the cheap flame inventory fills the tail.

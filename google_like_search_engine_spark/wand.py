@@ -508,3 +508,67 @@ def blocked_phrase_topk(
     )
     qblocks.unpersist()
     return out
+
+
+def blocked_proximity_topk(
+    spark: SparkSession,
+    terms: list,
+    window: int,
+    blocks: DataFrame,
+    doc_stats_idx: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Proximity query over the compressed blocked index: rank docs by
+    the number of anchor positions of ``terms[0]`` that have EVERY
+    other term within ``window`` tokens (either side).
+
+    Same block-skipping as the phrase path — a qualifying doc holds all
+    terms, so only blocks whose doc-range contains every term (metadata
+    intersection) are decoded. The window check is JVM-side array
+    algebra: fold ``filter(p, x -> exists(p_other, y -> |y-x| <= W))``
+    over the non-anchor terms. Positions are the index's 1-based
+    blank-counting token positions. Returns (url, n_matches) desc.
+    """
+    from .compression import unblock_postings
+
+    words = [w.lower() for w in terms if w]
+    if not words:
+        return spark.createDataFrame([], "url string, n_matches long")
+    uniq = sorted(set(words))
+    qblocks = blocks.where(F.col("term").isin(uniq)).persist()
+
+    full_blocks = (
+        qblocks.groupBy("block_id")
+        .agg(F.countDistinct("term").alias("nt"))
+        .where(F.col("nt") == len(uniq))
+        .select("block_id")
+    )
+    qblocks_hit = qblocks.join(full_blocks, "block_id", "left_semi")
+
+    def term_positions(w, col):
+        dec = unblock_postings(qblocks_hit.where(F.col("term") == w))
+        return dec.select("doc_index", F.col("positions").alias(col))
+
+    cur = term_positions(words[0], "p")
+    for w in dict.fromkeys(words[1:]):  # each partner term once
+        nxt = term_positions(w, "p_next")
+        cur = (
+            cur.join(nxt, "doc_index")
+            .select(
+                "doc_index",
+                F.expr(
+                    f"filter(p, x -> exists(p_next, y -> abs(y - x) <= {int(window)}))"
+                ).alias("p"),
+            )
+            .where(F.size("p") > 0)
+        )
+    out = (
+        cur.select("doc_index", F.size("p").cast("long").alias("n_matches"))
+        .join(doc_stats_idx.select("doc_index", "url"), "doc_index")
+        .select("url", "n_matches")
+        .orderBy(F.desc("n_matches"), F.asc("url"))
+        .limit(k)
+        .localCheckpoint(eager=True)
+    )
+    qblocks.unpersist()
+    return out

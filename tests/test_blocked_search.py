@@ -157,3 +157,45 @@ def test_blocked_phrase_topk_counts(spark):
     }
     assert got2 == {"u2": 1}
     blocks.unpersist()
+
+
+def test_blocked_proximity_topk_counts(spark):
+    """Window-proximity anchor counts off the positions store match a
+    hand computation; window=0 degenerates to exact co-position (never
+    matches distinct terms); order of partner terms doesn't matter."""
+    from google_like_search_engine_spark.wand import blocked_proximity_topk
+
+    docs = spark.createDataFrame(
+        [
+            # positions:  a=1, x=2..4, b=5  -> |b-a| = 4
+            ("d0", "u0", "alpha x x x beta"),
+            # a=1, b=2 adjacent; plus a=4 with b at 2 (|2-4|=2)
+            ("d1", "u1", "alpha beta x alpha"),
+            ("d2", "u2", "alpha x x x x x beta"),   # gap 6 > 5
+            ("d3", "u3", "beta x alpha"),           # |1-3| = 2
+            ("d4", "u4", "alpha only here"),
+        ],
+        "doc_id string, url string, text string",
+    )
+    postings = build_postings(docs)
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(idx, "doc_id"), block_span=4).persist()
+    dsi = (
+        postings.groupBy("doc_id", "url")
+        .agg(F.sum("tf").alias("n_term_entries"))
+        .join(idx, "doc_id")
+        .select("doc_index", "url", "n_term_entries")
+    )
+
+    def run(terms, w):
+        return {
+            r["url"]: r["n_matches"]
+            for r in blocked_proximity_topk(spark, terms, w, blocks, dsi, k=10).collect()
+        }
+
+    assert run(["alpha", "beta"], 5) == {"u0": 1, "u1": 2, "u3": 1}
+    assert run(["alpha", "beta"], 1) == {"u1": 1}
+    assert run(["alpha", "beta"], 0) == {}
+    # anchor on beta instead: counts anchor occurrences of beta
+    assert run(["beta", "alpha"], 5) == {"u0": 1, "u1": 1, "u3": 1}
+    blocks.unpersist()
