@@ -434,6 +434,46 @@ class SearchEngine:
             self.spark, words, window, blocks.drop("term_bucket"), doc_stats_idx, k=k
         )
 
+    def index_stats(self, index_path: str) -> dict:
+        """Observability over a blocked index: size/shape numbers from
+        block METADATA only (no posting bytes decoded) — one aggregation
+        over the pruned columns plus the driver-side sidecars. Reports
+        per-term-bucket posting distribution so skew is visible."""
+        blocks, _dsi, total, _stats, term_stats = self._blocked_handles(index_path)
+        agg = blocks.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("n_docs").alias("n_postings"),
+            F.sum(F.length("block")).alias("compressed_bytes"),
+            F.max("n_docs").alias("max_block_docs"),
+        ).collect()[0]
+        per_bucket = (
+            blocks.groupBy("term_bucket")
+            .agg(F.sum("n_docs").alias("postings"))
+            .collect()
+        )
+        buckets = sorted(int(r["postings"]) for r in per_bucket)
+        n_post = int(agg["n_postings"] or 0)
+        return {
+            "total_documents": total,
+            "n_terms": int(agg["n_terms"] or 0),
+            "n_blocks": int(agg["n_blocks"] or 0),
+            "n_postings": n_post,
+            "compressed_bytes": int(agg["compressed_bytes"] or 0),
+            "bytes_per_posting": round(
+                (agg["compressed_bytes"] or 0) / n_post, 3
+            ) if n_post else None,
+            "dictionary_terms": len(term_stats) if term_stats else None,
+            "buckets": {
+                "count": len(buckets),
+                "min_postings": buckets[0] if buckets else 0,
+                "max_postings": buckets[-1] if buckets else 0,
+                "skew_ratio": round(
+                    buckets[-1] / max(buckets[0], 1), 2
+                ) if buckets else None,
+            },
+        }
+
     def load(self, path: str, with_pageranks: bool = True) -> "SearchEngine":
         self.postings = self.spark.read.parquet(f"{path}/postings").persist()
         self.doc_stats = self.spark.read.parquet(f"{path}/doc_stats").persist()

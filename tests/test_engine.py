@@ -193,3 +193,17 @@ def test_build_without_metrics_is_default(spark):
     eng = SearchEngine(spark).build(generate_pages(spark, 10), run_pagerank=False)
     assert eng.build_metrics == {}
     eng.unpersist()
+
+
+def test_index_stats(spark, tmp_path):
+    eng = SearchEngine(spark).build(generate_pages(spark, 40), run_pagerank=False)
+    out = str(tmp_path / "blocked")
+    eng.save_blocked(out)
+    s = eng.index_stats(out)
+    assert s["total_documents"] == eng.total_documents
+    assert s["n_postings"] > 0 and s["n_blocks"] > 0
+    assert s["n_terms"] == s["dictionary_terms"]
+    assert s["compressed_bytes"] > 0 and s["bytes_per_posting"] > 0
+    assert s["buckets"]["count"] >= 1
+    assert s["buckets"]["max_postings"] >= s["buckets"]["min_postings"]
+    eng.unpersist()
