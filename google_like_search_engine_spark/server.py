@@ -66,8 +66,19 @@ document.getElementById('f').addEventListener('submit',async ev=>{
 """
 
 
-def make_server(engine, host: str = "127.0.0.1", port: int = 8080) -> ThreadingHTTPServer:
-    """Build (not start) the HTTP server; caller runs serve_forever()."""
+def make_server(
+    engine,
+    host: str = "127.0.0.1",
+    port: int = 8080,
+    blocked_path: str | None = None,
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server; caller runs serve_forever().
+
+    With ``blocked_path`` (a save_blocked dir), two positional routes
+    open up over the compressed positions store:
+      GET /phrase?query=a+b&k=10           exact phrase counts
+      GET /proximity?terms=a,b&window=5    all terms near each anchor
+    """
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet: the driver log is enough
@@ -142,6 +153,39 @@ def make_server(engine, host: str = "127.0.0.1", port: int = 8080) -> ThreadingH
                         for r in engine.autocomplete(prefix, k=k).collect()
                     ]
                     self._json(200, {"prefix": prefix, "completions": rows})
+                elif u.path == "/phrase" and blocked_path:
+                    query = q.get("query", "")
+                    k = self._k(q)
+                    if not query or k is None:
+                        self._json(400, {"error": "need ?query= and integer ?k="})
+                        return
+                    rows = [
+                        {"url": r["url"], "n_occurrences": int(r["n_occurrences"])}
+                        for r in engine.search_phrase_blocked(
+                            blocked_path, query, k=k
+                        ).collect()
+                    ]
+                    self._json(200, {"query": query, "results": rows})
+                elif u.path == "/proximity" and blocked_path:
+                    terms = [t for t in q.get("terms", "").split(",") if t]
+                    k = self._k(q)
+                    try:
+                        window = int(q.get("window", "5"))
+                    except ValueError:
+                        window = None
+                    if not terms or k is None or window is None or window < 0:
+                        self._json(
+                            400,
+                            {"error": "need ?terms=a,b integer ?k= and ?window>=0"},
+                        )
+                        return
+                    rows = [
+                        {"url": r["url"], "n_matches": int(r["n_matches"])}
+                        for r in engine.search_proximity_blocked(
+                            blocked_path, terms, window=window, k=k
+                        ).collect()
+                    ]
+                    self._json(200, {"terms": terms, "window": window, "results": rows})
                 else:
                     self._json(404, {"error": f"no route {u.path}"})
             except Exception as exc:  # surface engine errors as 500 JSON

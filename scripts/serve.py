@@ -21,6 +21,11 @@ def main():
     ap.add_argument("--index", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument(
+        "--blocked",
+        help="blocked index dir for /phrase and /proximity routes "
+        "(defaults to <index>/blocked when present)",
+    )
     args = ap.parse_args()
 
     from google_like_search_engine_spark.engine import SearchEngine
@@ -32,9 +37,14 @@ def main():
     served = eng.enable_serving()
     print(f"index loaded: {eng.total_documents} docs; "
           f"served path {'ON (single-job BM25)' if served else 'off (dictionary over cap)'}")
-    srv = make_server(eng, args.host, args.port)
-    print(f"serving on http://{args.host}:{args.port}  "
-          f"(/search?query=  /autocomplete?prefix=  /health)")
+    blocked = args.blocked or os.path.join(args.index, "blocked")
+    if not os.path.isdir(blocked.removeprefix("file://")):
+        blocked = None
+    srv = make_server(eng, args.host, args.port, blocked_path=blocked)
+    routes = "/search?query=  /autocomplete?prefix=  /health"
+    if blocked:
+        routes += "  /phrase?query=  /proximity?terms="
+    print(f"serving on http://{args.host}:{args.port}  ({routes})")
     try:
         srv.serve_forever()
     except KeyboardInterrupt:

@@ -101,3 +101,55 @@ def test_unknown_route_is_404(base_url):
         assert False, "expected HTTPError"
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+@pytest.fixture(scope="module")
+def blocked_url(engine, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("srv") / "blocked")
+    engine.save_blocked(out)
+    srv = make_server(engine, "127.0.0.1", 0, blocked_path=out)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_phrase_route(blocked_url):
+    code, body = _get(f"{blocked_url}/phrase?query=search+engine&k=5")
+    assert code == 200
+    for r in body["results"]:
+        assert r["n_occurrences"] >= 1
+
+
+def test_proximity_route(blocked_url):
+    code, body = _get(f"{blocked_url}/proximity?terms=search,engine&window=8&k=5")
+    assert code == 200 and body["window"] == 8
+    for r in body["results"]:
+        assert r["n_matches"] >= 1
+    # proximity at a generous window admits at least every phrase match
+    code2, phrase = _get(f"{blocked_url}/phrase?query=search+engine&k=100")
+    prox_urls = {r["url"] for r in body["results"]}
+    if phrase["results"]:
+        assert prox_urls  # both non-empty on this corpus
+
+
+def test_proximity_route_validation(blocked_url):
+    code, body = _get_allow_error(f"{blocked_url}/proximity?terms=&k=5")
+    assert code == 400
+    code, body = _get_allow_error(f"{blocked_url}/proximity?terms=a,b&window=x")
+    assert code == 400
+
+
+def test_positional_routes_404_without_blocked(base_url):
+    code, _ = _get_allow_error(f"{base_url}/phrase?query=a+b")
+    assert code == 404
+
+
+def _get_allow_error(url):
+    import urllib.error
+
+    try:
+        with urllib.request.urlopen(url, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
