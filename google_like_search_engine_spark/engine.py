@@ -344,36 +344,66 @@ class SearchEngine:
             pass
         return total, stats, term_stats
 
+    def _pruned_blocked_scan(
+        self,
+        index_path: str,
+        words: list,
+        require_all: bool = False,
+        compute_fallback: bool = False,
+    ):
+        """Shared term-bucket partition pruning for every blocked query
+        path. Returns (blocks-or-None, doc_stats_idx, total, stats,
+        term_stats); ``None`` blocks means the result is provably empty
+        (a required term, or every term, is absent from the dictionary).
+
+        Bucket ids come from the driver-side dictionary sidecar when
+        available (zero jobs). Pruning only applies when EVERY matched
+        term's bucket is known — partial pruning on a mixed layout
+        would silently drop a term's blocks. ``compute_fallback`` (the
+        BM25 path) recomputes bucket ids with one tiny job on
+        pre-dictionary layouts; positional paths just scan unpruned.
+        """
+        blocks, dsi, total, stats, term_stats = self._blocked_handles(index_path)
+        if not words:
+            return blocks, dsi, total, stats, term_stats
+        if term_stats is not None:
+            present = [w for w in words if w in term_stats]
+            if require_all and len(present) < len(words):
+                return None, dsi, total, stats, term_stats
+            ids = {term_stats[w][2] for w in present}
+            if None not in ids:
+                if not ids:  # no query term indexed at all
+                    return None, dsi, total, stats, term_stats
+                return (
+                    blocks.where(F.col("term_bucket").isin(sorted(ids))),
+                    dsi, total, stats, term_stats,
+                )
+            # fall through: pre-bucket dictionary layout
+        if compute_fallback:
+            ids = sorted(
+                {
+                    r["b"]
+                    for r in self.spark.createDataFrame(
+                        [(w,) for w in words], "term string"
+                    )
+                    .select(
+                        F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)).alias("b")
+                    )
+                    .collect()
+                }
+            )
+            blocks = blocks.where(F.col("term_bucket").isin(ids))
+        return blocks, dsi, total, stats, term_stats
+
     def search_bm25_blocked(self, index_path: str, query: str, k: int = 10) -> DataFrame:
         """BM25 top-k straight off the on-disk blocked index: the term
         filter prunes term_bucket partitions before any decode."""
-        blocks, doc_stats_idx, total, stats, term_stats = self._blocked_handles(index_path)
         words = sorted({w.lower() for w in expand_query(query)})
-        if words:
-            # partition pruning: restrict the scan to the query terms'
-            # hash buckets. Bucket ids come from the driver-side
-            # dictionary when available (zero jobs); otherwise one tiny
-            # job recomputes them (xxhash64 must match save_blocked's).
-            if term_stats is not None and all(
-                term_stats[w][2] is not None for w in words if w in term_stats
-            ):
-                bucket_ids = sorted({term_stats[w][2] for w in words if w in term_stats})
-            else:
-                bucket_ids = sorted(
-                    {
-                        r["b"]
-                        for r in self.spark.createDataFrame(
-                            [(w,) for w in words], "term string"
-                        )
-                        .select(
-                            F.pmod(F.xxhash64("term"), F.lit(TERM_BUCKETS)).alias("b")
-                        )
-                        .collect()
-                    }
-                )
-            if not bucket_ids:
-                return self.spark.createDataFrame([], "url string, score double")
-            blocks = blocks.where(F.col("term_bucket").isin(bucket_ids))
+        blocks, doc_stats_idx, total, stats, term_stats = self._pruned_blocked_scan(
+            index_path, words, compute_fallback=True
+        )
+        if blocks is None:
+            return self.spark.createDataFrame([], "url string, score double")
         return blocked_maxscore_topk(
             self.spark, query, blocks.drop("term_bucket"), doc_stats_idx, total,
             k=k, doc_stats_agg=stats, term_stats=term_stats,
@@ -387,22 +417,14 @@ class SearchEngine:
         short-circuits to an empty result with zero jobs."""
         from .wand import blocked_phrase_topk
 
-        blocks, doc_stats_idx, _total, _stats, term_stats = self._blocked_handles(
-            index_path
-        )
         words = [w.lower() for w in phrase.split() if w]
         if not words:
             return self.spark.createDataFrame([], "url string, n_occurrences long")
-        if term_stats is not None:
-            if any(w not in term_stats for w in words):
-                return self.spark.createDataFrame(
-                    [], "url string, n_occurrences long"
-                )
-            buckets = sorted(
-                {term_stats[w][2] for w in words if term_stats[w][2] is not None}
-            )
-            if buckets:
-                blocks = blocks.where(F.col("term_bucket").isin(buckets))
+        blocks, doc_stats_idx, _t, _s, _ts = self._pruned_blocked_scan(
+            index_path, words, require_all=True
+        )
+        if blocks is None:
+            return self.spark.createDataFrame([], "url string, n_occurrences long")
         return blocked_phrase_topk(
             self.spark, phrase, blocks.drop("term_bucket"), doc_stats_idx, k=k,
         )
@@ -416,20 +438,14 @@ class SearchEngine:
         dictionary short-circuit as the phrase path."""
         from .wand import blocked_proximity_topk
 
-        blocks, doc_stats_idx, _total, _stats, term_stats = self._blocked_handles(
-            index_path
-        )
         words = [w.lower() for w in terms if w]
         if not words:
             return self.spark.createDataFrame([], "url string, n_matches long")
-        if term_stats is not None:
-            if any(w not in term_stats for w in words):
-                return self.spark.createDataFrame([], "url string, n_matches long")
-            buckets = sorted(
-                {term_stats[w][2] for w in words if term_stats[w][2] is not None}
-            )
-            if buckets:
-                blocks = blocks.where(F.col("term_bucket").isin(buckets))
+        blocks, doc_stats_idx, _t, _s, _ts = self._pruned_blocked_scan(
+            index_path, words, require_all=True
+        )
+        if blocks is None:
+            return self.spark.createDataFrame([], "url string, n_matches long")
         return blocked_proximity_topk(
             self.spark, words, window, blocks.drop("term_bucket"), doc_stats_idx, k=k
         )
