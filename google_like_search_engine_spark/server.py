@@ -74,10 +74,11 @@ def make_server(
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
-    With ``blocked_path`` (a save_blocked dir), two positional routes
-    open up over the compressed positions store:
+    With ``blocked_path`` (a save_blocked dir), three more routes open
+    up over the compressed store:
       GET /phrase?query=a+b&k=10           exact phrase counts
       GET /proximity?terms=a,b&window=5    all terms near each anchor
+      GET /stats                           metadata-only index report
     """
 
     class Handler(BaseHTTPRequestHandler):
@@ -153,6 +154,8 @@ def make_server(
                         for r in engine.autocomplete(prefix, k=k).collect()
                     ]
                     self._json(200, {"prefix": prefix, "completions": rows})
+                elif u.path == "/stats" and blocked_path:
+                    self._json(200, engine.index_stats(blocked_path))
                 elif u.path == "/phrase" and blocked_path:
                     query = q.get("query", "")
                     k = self._k(q)

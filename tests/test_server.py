@@ -153,3 +153,10 @@ def _get_allow_error(url):
             return resp.status, json.loads(resp.read())
     except urllib.error.HTTPError as e:
         return e.code, json.loads(e.read())
+
+
+def test_stats_route(blocked_url, engine):
+    code, body = _get(f"{blocked_url}/stats")
+    assert code == 200
+    assert body["total_documents"] == engine.total_documents
+    assert body["n_postings"] > 0 and body["buckets"]["count"] >= 1
