@@ -758,3 +758,69 @@ WHERE t1.w = '{PROXIMITY[0]}'
                 AND abs(t2.pos - t1.pos) <= {PROXIMITY_WINDOW})
 GROUP BY t1.doc_id
 """
+
+
+REQUIRED_TERM = "join"
+EXCLUDED_TERM = "window"
+
+
+def bm25_filtered_search(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
+    """Boolean-filtered BM25: the bm25_search scored set restricted to
+    documents that CONTAIN the required term (left-semi join on the
+    posting relation) and DON'T contain the excluded term (left-anti) —
+    the `+term -term` query-syntax capability, expressed as pure
+    relational algebra so the whole filter chain stays JVM-side and the
+    semi/anti joins broadcast their tiny term-filtered build sides."""
+    docs = load(spark, sf_dir, "documents")
+    n = float(docs.count())
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
+    dfc = (
+        tf.join(F.broadcast(terms), "w")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    required = tf.where(F.col("w") == REQUIRED_TERM).select("doc_id")
+    excluded = tf.where(F.col("w") == EXCLUDED_TERM).select("doc_id")
+    return (
+        tf.join(F.broadcast(terms), "w")
+        .join(F.broadcast(dfc), "w")
+        .join(dl, "doc_id")
+        .join(required, "doc_id", "left_semi")
+        .join(excluded, "doc_id", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+
+
+BM25_FILTERED_SEARCH_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf WHERE w IN ({_terms_lit()}) GROUP BY w)
+SELECT tf.doc_id,
+       round(sum(
+         ln((n.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+         * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       ), 4) AS score
+FROM tf JOIN dfc USING (w) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+WHERE EXISTS (SELECT 1 FROM tf r WHERE r.doc_id = tf.doc_id
+              AND r.w = '{REQUIRED_TERM}')
+  AND NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = tf.doc_id
+                  AND x.w = '{EXCLUDED_TERM}')
+GROUP BY tf.doc_id
+"""

@@ -367,6 +367,10 @@ EXTRA_ORACLE_QUERIES["proximity_search_blocked"] = (
     _proximity_search_blocked,
     t.PROXIMITY_SEARCH_SQL,
 )
+EXTRA_ORACLE_QUERIES["bm25_filtered_search"] = (
+    t.bm25_filtered_search,
+    t.BM25_FILTERED_SEARCH_SQL,
+)
 
 # The exact driver-gate surface and order: 45 oracle + 5 rows-only = 50.
 # Headline text/search/dedup/analytics entries and every rows-only entry
