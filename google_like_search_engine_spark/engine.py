@@ -577,10 +577,23 @@ class SearchEngine:
         return True
 
     def search_bm25_served(
-        self, query: str, k: int = 10, k1: float = 1.2, b: float = 0.75
+        self,
+        query: str,
+        k: int = 10,
+        k1: float = 1.2,
+        b: float = 0.75,
+        required: list | None = None,
+        excluded: list | None = None,
     ) -> DataFrame:
         """Single-job BM25 top-k off the pinned serving state (score
-        identical to search_bm25; property-tested)."""
+        identical to search_bm25; property-tested).
+
+        ``required``/``excluded``: boolean filters (the `+term -term`
+        syntax) — results must contain every required term and no
+        excluded term. Filters ride the same cached serving relation as
+        left-semi/left-anti joins, so the query stays one job. A
+        required term absent from the dictionary short-circuits empty;
+        an absent excluded term is a no-op."""
         import math
 
         from .ranker import expand_query
@@ -588,6 +601,11 @@ class SearchEngine:
         assert getattr(self, "_served", None) is not None, "enable_serving first"
         words = sorted({w.lower() for w in expand_query(query)})
         hit = [w for w in words if w in self._dict]
+        required = [w.lower() for w in (required or [])]
+        excluded = [w.lower() for w in (excluded or [])]
+        if any(w not in self._dict for w in required):
+            return self.spark.createDataFrame([], "url string, score double")
+        excluded = [w for w in excluded if w in self._dict]
         if not hit:
             return self.spark.createDataFrame([], "url string, score double")
         n = float(self.total_documents)
@@ -606,9 +624,27 @@ class SearchEngine:
                 + k1 * (1 - b + b * F.col("n_term_entries") / F.lit(self._avgdl))
             )
         )
+        scored = self._served.where(F.col("term").isin(hit))
+        for w in dict.fromkeys(required):
+            scored = scored.join(
+                F.broadcast(
+                    self._served.where(F.col("term") == w).select("url")
+                ),
+                "url",
+                "left_semi",
+            )
+        if excluded:
+            scored = scored.join(
+                F.broadcast(
+                    self._served.where(
+                        F.col("term").isin(sorted(set(excluded)))
+                    ).select("url")
+                ),
+                "url",
+                "left_anti",
+            )
         return (
-            self._served.where(F.col("term").isin(hit))
-            .select("url", partial.alias("partial"))
+            scored.select("url", partial.alias("partial"))
             .groupBy("url")
             .agg(F.sum("partial").alias("score"))
             .orderBy(F.desc("score"), F.asc("url"))

@@ -124,21 +124,32 @@ def make_server(
                     if k is None:
                         self._json(400, {"error": "?k= must be an integer"})
                         return
+                    required = [t for t in q.get("required", "").split(",") if t]
+                    excluded = [t for t in q.get("excluded", "").split(",") if t]
                     if q.get("scorer") == "tfidf":
+                        if required or excluded:
+                            self._json(
+                                400,
+                                {"error": "required/excluded need the bm25 scorer"},
+                            )
+                            return
                         res = engine.search(query, k=k)
-                        rows = [
-                            {"url": r["url"], "score": float(r["score"])}
-                            for r in res.collect()
-                        ]
+                    elif getattr(engine, "_served", None) is not None:
+                        res = engine.search_bm25_served(
+                            query, k=k, required=required, excluded=excluded
+                        )
+                    elif required or excluded:
+                        self._json(
+                            400,
+                            {"error": "required/excluded need the serving path"},
+                        )
+                        return
                     else:
-                        if getattr(engine, "_served", None) is not None:
-                            res = engine.search_bm25_served(query, k=k)
-                        else:
-                            res = engine.search_bm25(query, k=k)
-                        rows = [
-                            {"url": r["url"], "score": float(r["score"])}
-                            for r in res.collect()
-                        ]
+                        res = engine.search_bm25(query, k=k)
+                    rows = [
+                        {"url": r["url"], "score": float(r["score"])}
+                        for r in res.collect()
+                    ]
                     self._json(200, {"query": query, "results": rows})
                 elif u.path == "/autocomplete":
                     prefix = q.get("prefix", "")

@@ -207,3 +207,40 @@ def test_index_stats(spark, tmp_path):
     assert s["buckets"]["count"] >= 1
     assert s["buckets"]["max_postings"] >= s["buckets"]["min_postings"]
     eng.unpersist()
+
+
+def test_served_boolean_filters(spark):
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 100).where(F.col("lang") == "en")
+    eng = SearchEngine(spark).build(pages, run_pagerank=False)
+    assert eng.enable_serving()
+    base = eng.search_bm25_served("search engine index", k=1000).collect()
+    req = "search"
+    filt = eng.search_bm25_served(
+        "search engine index", k=1000, required=[req]
+    ).collect()
+    # filtered is a subset with identical scores
+    base_scores = {r["url"]: r["score"] for r in base}
+    with_req = {
+        r["doc_id"]
+        for r in eng.postings.where(F.col("term") == req)
+        .select(F.col("url").alias("doc_id"))
+        .collect()
+    }
+    assert {r["url"] for r in filt} == set(base_scores) & with_req
+    for r in filt:
+        assert r["score"] == base_scores[r["url"]]
+    # excluded removes exactly those docs
+    excl = eng.search_bm25_served(
+        "search engine index", k=1000, excluded=[req]
+    ).collect()
+    assert {r["url"] for r in excl} == set(base_scores) - with_req
+    # unknown required term -> empty; unknown excluded -> no-op
+    assert eng.search_bm25_served("search", required=["zzzznope"]).collect() == []
+    assert {
+        r["url"] for r in eng.search_bm25_served(
+            "search engine index", k=1000, excluded=["zzzznope"]
+        ).collect()
+    } == set(base_scores)
+    eng.unpersist()

@@ -160,3 +160,27 @@ def test_stats_route(blocked_url, engine):
     assert code == 200
     assert body["total_documents"] == engine.total_documents
     assert body["n_postings"] > 0 and body["buckets"]["count"] >= 1
+
+
+def test_search_with_boolean_filters(base_url, engine):
+    # pick a term present in the dictionary to require, one to exclude
+    terms = [r["term"] for r in engine.autocomplete("s", k=2).collect()]
+    req = terms[0]
+    code, body = _get(
+        f"{base_url}/search?query=search+engine&required={req}&k=50"
+    )
+    assert code == 200
+    urls = {r["url"] for r in body["results"]}
+    # every returned url's doc really contains the required term
+    direct = {
+        r["url"]
+        for r in engine.search_bm25_served(
+            "search engine", k=50, required=[req]
+        ).collect()
+    }
+    assert urls == direct
+    # excluding the required term empties the intersection
+    code, body2 = _get(
+        f"{base_url}/search?query=search+engine&required={req}&excluded={req}&k=50"
+    )
+    assert code == 200 and body2["results"] == []
