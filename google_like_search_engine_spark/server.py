@@ -52,7 +52,15 @@ q.addEventListener('input',async()=>{
 });
 document.getElementById('f').addEventListener('submit',async ev=>{
   ev.preventDefault(); res.innerHTML='';
-  const r=await fetch('/search?query='+encodeURIComponent(q.value)+'&k=20');
+  // +term requires, -term excludes, the rest is the scored query
+  const words=q.value.split(/\\s+/).filter(Boolean);
+  const req=words.filter(w=>w[0]=='+').map(w=>w.slice(1));
+  const exc=words.filter(w=>w[0]=='-').map(w=>w.slice(1));
+  const plain=words.filter(w=>w[0]!='+'&&w[0]!='-');
+  let url='/search?query='+encodeURIComponent(plain.join(' '))+'&k=20';
+  if(req.length)url+='&required='+encodeURIComponent(req.join(','));
+  if(exc.length)url+='&excluded='+encodeURIComponent(exc.join(','));
+  const r=await fetch(url);
   const js=await r.json();
   for(const row of (js.results||[])){
     const li=document.createElement('li');
