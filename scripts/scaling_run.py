@@ -60,8 +60,10 @@ bounded on this one-socket sandbox, and why the plan itself scales:
 
 Cross-configuration history (same job, 160k pages unless noted):
 round 2 measured 2->8 eff 0.630, 4->16 eff 0.687, 8->32 eff
-0.496 (and 0.446 on 640k pages); round 3's 8->32 run measured
-**0.761 raw / 0.834 ceiling-normalized**. On a real N-node cluster
+0.496 (and 0.446 on 640k pages); round 3's 8->32 runs measured
+**0.761 raw / 0.834 ceiling-normalized** (headline) and, in a later
+epoch where the low side ran atypically fast, 0.646 raw / 0.766
+normalized. On a real N-node cluster
 each executor brings its own memory bus, page cache and disks — the
 resource that stops scaling here is the one a multi-node cluster
 multiplies by design.
