@@ -104,6 +104,10 @@ def clean_html(html: str, dictionary, base_url: str = ""):
     return text, links
 
 
+_MEMO_MISS = object()
+_STEM_DIFF_MEMO: dict = {}
+
+
 def index_tokenize(page: str):
     """Indexer tokenization -> (term -> [positions], l2_norm).
 
@@ -121,7 +125,7 @@ def index_tokenize(page: str):
     """
     positions: dict = {}
     get = positions.get
-    stem = porter_stem
+    memo = _STEM_DIFF_MEMO
     pos = 0
     for token in page.split(" "):
         pos += 1
@@ -136,8 +140,17 @@ def index_tokenize(page: str):
             positions[token] = [pos]
         else:
             plist.append(pos)
-        stemmed = stem(token)
-        if stemmed != token:
+        # plain-dict memo of stem-if-different (None when stem == token):
+        # one dict probe per occurrence instead of an lru_cache call plus
+        # an equality check — the tokenize hot loop's dominant cost
+        stemmed = memo.get(token, _MEMO_MISS)
+        if stemmed is _MEMO_MISS:
+            s = porter_stem(token)
+            stemmed = s if s != token else None
+            if len(memo) > (1 << 19):  # bound worker memory on huge vocabs
+                memo.clear()
+            memo[token] = stemmed
+        if stemmed is not None:
             plist = get(stemmed)
             if plist is None:
                 positions[stemmed] = [pos]
