@@ -194,6 +194,81 @@ GROUP BY tf.doc_id
 """
 
 
+# Literal score threshold for the oracle-checked MaxScore pruned path:
+# chosen (scripts-side scan over both test SFs) so the nearest BM25
+# score is >2.6e-3 away at sf0.001 AND sf0.01 — a top-k LIMIT over
+# float-ordered rows is banned for oracle outputs, but a threshold in a
+# wide score gap selects the identical set in any engine, and MaxScore
+# pruning is exact for threshold semantics too.
+MAXSCORE_THRESHOLD = 1.4565
+
+
+def bm25_maxscore_threshold(spark, sf_dir):
+    """The blocked MaxScore/block-max PRUNED path (wand.
+    blocked_maxscore_threshold), oracle-checked end-to-end: build a
+    plain-dialect compressed blocked index over the documents table
+    (varint blocks + columnar sidecars + denormalized dls), then return
+    every doc whose BM25 score rounds to >= MAXSCORE_THRESHOLD through
+    the full pruning machinery — essential-term selection, metadata-only
+    block-max skipping, candidate semi-joins, join-free dl scoring. The
+    oracle recomputes relational BM25 with the same HAVING threshold."""
+    from .compression import assign_doc_indexes, block_postings
+    from .wand import blocked_maxscore_threshold
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+    )
+    n = docs.count()
+    toks = (
+        docs.select("doc_id", "url", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "url", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("dl"))
+    postings = tf.join(dl, "doc_id").withColumn(
+        "positions", F.array().cast("array<int>")
+    )
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(F.broadcast(idx), "doc_id"))
+    dsi = (
+        dl.join(F.broadcast(idx), "doc_id")
+        .select("doc_index", F.col("doc_id").alias("url"), F.col("dl").alias("n_term_entries"))
+    )
+    out = blocked_maxscore_threshold(
+        spark,
+        " ".join(QUERY_TERMS),
+        blocks,
+        dsi,
+        n,
+        threshold=MAXSCORE_THRESHOLD,
+        use_stems=False,
+    )
+    return out.select(F.col("url").cast("long").alias("doc_id"), "score")
+
+
+_BM25_SUM = """sum(
+         ln((n.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+         * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       )"""
+
+BM25_MAXSCORE_THRESHOLD_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf WHERE w IN ({_terms_lit()}) GROUP BY w)
+SELECT tf.doc_id, round({_BM25_SUM}, 4) AS score
+FROM tf JOIN dfc USING (w) JOIN dl ON tf.doc_id = dl.doc_id, stats, n
+GROUP BY tf.doc_id
+HAVING round({_BM25_SUM}, 4) >= {MAXSCORE_THRESHOLD}
+"""
+
+
 # --------------------------------------------------------------------------
 # Deduplication suite
 # --------------------------------------------------------------------------

@@ -149,6 +149,26 @@ def _visited_paths(spark: SparkSession, state_dir: str, last: int) -> list:
     return paths
 
 
+def _host_count_paths(spark: SparkSession, state_dir: str, last: int) -> list:
+    """Parquet paths reconstructing cumulative per-host ok-counts as of
+    complete round ``last``: newest host_full snapshot + later deltas
+    (exactly the visited reconstruction, over the tiny counts tables)."""
+    snap = None
+    for r in _list_rounds(spark, state_dir):
+        if r <= last and _exists(spark, _round_dir(state_dir, r) + "/host_full"):
+            snap = r
+    paths = []
+    if snap is not None:
+        paths.append(_round_dir(state_dir, snap) + "/host_full")
+    start = 0 if snap is None else snap + 1
+    for r in _list_rounds(spark, state_dir):
+        if start <= r <= last and _exists(
+            spark, _round_dir(state_dir, r) + "/host_delta"
+        ):
+            paths.append(_round_dir(state_dir, r) + "/host_delta")
+    return paths
+
+
 def _prep_robots(robots: DataFrame, user_agent: str) -> DataFrame:
     """(host, robots_txt) -> + crawl_delay_ms (Crawler.java:512-520)."""
     from .kernels.robots import parse_crawl_delay
@@ -274,12 +294,54 @@ def crawl(
         start = 0
     else:
         visited_paths = _visited_paths(spark, state_dir, last)
+        if not visited_paths:
+            # pre-delta checkpoint layout (round dirs holding visited/
+            # instead of visited_delta/): resume from its full table
+            # rather than crashing on an empty parquet path list
+            legacy = _round_dir(state_dir, last) + "/visited"
+            if _exists(spark, legacy):
+                visited_paths = [legacy]
+            else:
+                raise ValueError(
+                    f"incompatible checkpoint layout under {state_dir}: "
+                    f"round {last} is marked complete but holds no visited "
+                    "snapshot or deltas"
+                )
         visited = spark.read.parquet(*visited_paths)
         frontier = spark.read.parquet(_round_dir(state_dir, last) + "/frontier")
         start = last + 1
 
     web = pages.select("url", "text")
     host = F.parse_url("url", F.lit("HOST"))
+
+    # cumulative per-host ok-counts ride their own tiny delta tables
+    # (host_delta per round, folded into host_full at compaction), so
+    # the host_page_cap gate reads O(hosts) counts per round instead of
+    # re-aggregating the whole visited relation every round
+    host_paths: list = []
+    host_base: DataFrame | None = None
+    if host_page_cap is not None and last is not None:
+        host_paths = _host_count_paths(spark, state_dir, last)
+        if not host_paths:
+            # checkpoint predates host-count deltas: seed the cumulative
+            # counts from the resumed visited table once
+            host_base = (
+                visited.where(F.col("status") == "ok")
+                .groupBy(host.alias("h"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            )
+
+    def _host_counts() -> DataFrame | None:
+        parts = []
+        if host_base is not None:
+            parts.append(host_base)
+        if host_paths:
+            parts.append(spark.read.parquet(*host_paths).select("h", "n"))
+        if not parts:
+            return None
+        allc = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        return allc.groupBy("h").agg(F.sum("n").alias("n"))
+
     for r in range(start, start + max_rounds):
         if frontier.isEmpty():
             break
@@ -315,19 +377,17 @@ def crawl(
 
         host_capped = None
         if host_page_cap is not None:
-            full_hosts = (
-                visited.where(F.col("status") == "ok")
-                .groupBy(host.alias("h"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .where(F.col("n") >= host_page_cap)
-                .select("h")
-            )
-            host_capped = frontier_now.join(
-                full_hosts, host == F.col("h"), "left_semi"
-            )
-            frontier_now = frontier_now.join(
-                full_hosts, host == F.col("h"), "left_anti"
-            )
+            counts = _host_counts()
+            if counts is not None:
+                full_hosts = (
+                    counts.where(F.col("n") >= host_page_cap).select("h")
+                )
+                host_capped = frontier_now.join(
+                    full_hosts, host == F.col("h"), "left_semi"
+                )
+                frontier_now = frontier_now.join(
+                    full_hosts, host == F.col("h"), "left_anti"
+                )
 
         redirected = None
         redirect_dsts = None
@@ -448,6 +508,18 @@ def crawl(
         delta.write.mode("overwrite").parquet(rd_dir + "/visited_delta")
         new_frontier.write.mode("overwrite").parquet(rd_dir + "/frontier")
         visited_paths = visited_paths + [rd_dir + "/visited_delta"]
+        if host_page_cap is not None:
+            # this round's per-host ok-counts, read back off the tiny
+            # just-written delta (no recompute of the fetch join)
+            (
+                spark.read.parquet(rd_dir + "/visited_delta")
+                .where(F.col("status") == "ok")
+                .groupBy(host.alias("h"))
+                .agg(F.count(F.lit(1)).cast("long").alias("n"))
+                .write.mode("overwrite")
+                .parquet(rd_dir + "/host_delta")
+            )
+            host_paths = host_paths + [rd_dir + "/host_delta"]
 
         compact = (r + 1) % compact_every == 0
         if compact:
@@ -457,6 +529,12 @@ def crawl(
                 rd_dir + "/visited_full"
             )
             visited_paths = [rd_dir + "/visited_full"]
+            if host_page_cap is not None:
+                counts = _host_counts()
+                if counts is not None:
+                    counts.write.mode("overwrite").parquet(rd_dir + "/host_full")
+                    host_paths = [rd_dir + "/host_full"]
+                    host_base = None
         _write_marker(spark, state_dir, r)
         if compact:
             _delete_rounds_before(spark, state_dir, r)

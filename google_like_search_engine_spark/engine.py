@@ -44,7 +44,8 @@ class SearchEngine:
 
     def build(self, pages: DataFrame, run_pagerank: bool = True,
               pagerank_threshold: float = 0.001,
-              collect_metrics: bool = False) -> "SearchEngine":
+              collect_metrics: bool = False,
+              postings_fn=None) -> "SearchEngine":
         """pages(url, text[, html, lang]) -> cached index + pageranks.
 
         ``collect_metrics``: record per-phase wall time and
@@ -52,11 +53,19 @@ class SearchEngine:
         (north-rule lineage+metrics; ``save`` persists them as a
         sidecar). Off by default — the extra count jobs are cheap over
         the persisted relations but not free.
+
+        ``postings_fn``: pluggable analyzer (the Lucene-analyzer seam):
+        docs(doc_id, url, text) -> postings with at least (term,
+        doc_id, url, tf). Defaults to the reference-parity tokenizer
+        (indexer.build_postings: tag strip, raw+stem dual entries,
+        positions, L2). ``merge_pages`` re-uses whichever analyzer the
+        index was built with.
         """
         t0 = time.perf_counter()
         phases = {}
         docs = docs_from_pages(pages)
-        self.postings = build_postings(docs).persist()
+        self._postings_fn = postings_fn or build_postings
+        self.postings = self._postings_fn(docs).persist()
         self.doc_stats = (
             self.postings.groupBy("doc_id", "url")
             .agg(F.sum("tf").alias("n_term_entries"))
@@ -119,7 +128,7 @@ class SearchEngine:
         """
         assert self.postings is not None, "build first"
         delta_docs = docs_from_pages(pages_delta)
-        delta_postings = build_postings(delta_docs)
+        delta_postings = getattr(self, "_postings_fn", build_postings)(delta_docs)
         # replaced ids come from the DOCS in the delta, not its postings:
         # a re-crawled page whose new text yields zero postings (emptied
         # page) must still purge its old postings + doc_stats entry
@@ -170,17 +179,21 @@ class SearchEngine:
             self.term_df.write.mode("overwrite").parquet(f"{path}/term_df")
         if self.pageranks is not None:
             self.pageranks.write.mode("overwrite").parquet(f"{path}/pageranks")
+        # Hadoop FS stream so metrics land next to the parquet on
+        # any scheme (local, HDFS, object store), not just file://
+        jvm = self.spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/build_metrics.json")
+        fs = jpath.getFileSystem(
+            self.spark.sparkContext._jsc.hadoopConfiguration()
+        )
         if self.build_metrics:
-            # Hadoop FS stream so metrics land next to the parquet on
-            # any scheme (local, HDFS, object store), not just file://
-            jvm = self.spark.sparkContext._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/build_metrics.json")
-            fs = jpath.getFileSystem(
-                self.spark.sparkContext._jsc.hadoopConfiguration()
-            )
             out = fs.create(jpath, True)
             out.write(bytearray(json.dumps(self.build_metrics, indent=1), "utf-8"))
             out.close()
+        elif fs.exists(jpath):
+            # re-saving without metrics (rebuild, merge_pages) must not
+            # leave a stale sidecar describing the previous index
+            fs.delete(jpath, False)
 
     # -- blocked (compressed, term-bucket-partitioned) layout ---------------
 
@@ -550,6 +563,9 @@ class SearchEngine:
     # -- low-latency serving path ------------------------------------------
 
     DICT_CAP = 2_000_000  # max dictionary entries held driver-side
+    # max posting rows a boolean-filter side may have and still get the
+    # broadcast hint on the served path (roughly <=10 MB of urls)
+    FILTER_BROADCAST_DF_CAP = 250_000
 
     def enable_serving(self) -> bool:
         """Pin the serving state the reference ranker keeps in RAM
@@ -624,21 +640,31 @@ class SearchEngine:
                 + k1 * (1 - b + b * F.col("n_term_entries") / F.lit(self._avgdl))
             )
         )
+        # DICT_CAP bounds distinct terms, not posting counts: a
+        # stopword-like filter term's url list is proportional to the
+        # corpus, so the broadcast hint only applies when the term df
+        # (known driver-side from the dictionary) is small enough to
+        # ship; bigger filters fall back to a plain shuffle semi/anti
+        # join, which AQE may still broadcast if runtime stats allow.
+        def _maybe_broadcast(df_side, n_rows):
+            return F.broadcast(df_side) if n_rows <= self.FILTER_BROADCAST_DF_CAP else df_side
+
         scored = self._served.where(F.col("term").isin(hit))
         for w in dict.fromkeys(required):
             scored = scored.join(
-                F.broadcast(
-                    self._served.where(F.col("term") == w).select("url")
+                _maybe_broadcast(
+                    self._served.where(F.col("term") == w).select("url"),
+                    self._dict[w],
                 ),
                 "url",
                 "left_semi",
             )
         if excluded:
+            exc = sorted(set(excluded))
             scored = scored.join(
-                F.broadcast(
-                    self._served.where(
-                        F.col("term").isin(sorted(set(excluded)))
-                    ).select("url")
+                _maybe_broadcast(
+                    self._served.where(F.col("term").isin(exc)).select("url"),
+                    sum(self._dict[w] for w in exc),
                 ),
                 "url",
                 "left_anti",

@@ -308,7 +308,14 @@ def _live_block_ids(
     ``theta``: sum over the query terms present in the block of
     idf_t * block-max-tf contribution (with the global min_dl bound).
     Pure aggregation over (term, block_id, max_tf) metadata — no block
-    bytes are touched. Blocks below theta are provably top-k-free."""
+    bytes are touched. Blocks below theta are provably top-k-free.
+
+    The comparison carries a relative epsilon slack: theta is computed
+    JVM-side (F.log in the seeding job) while the block bounds use
+    driver-side math.log idf literals, and at an exact boundary (k-th
+    doc has tf == block max_tf and dl == min_dl) a 1-ulp log
+    discrepancy between the two runtimes could otherwise prune the
+    block holding a true top-k doc."""
     idf_lit = F.create_map(
         *[x for t in idf_by_term for x in (F.lit(t), F.lit(idf_by_term[t]))]
     )
@@ -320,9 +327,163 @@ def _live_block_ids(
     return (
         qblocks.groupBy("block_id")
         .agg(F.sum(block_ub).alias("_ub"))
-        .where(F.col("_ub") >= theta)
+        .where(F.col("_ub") >= theta * (1.0 - 1e-12) - 1e-300)
         .select("block_id")
     )
+
+
+def blocked_maxscore_threshold(
+    spark: SparkSession,
+    query: str,
+    blocks: DataFrame,
+    doc_stats_idx: DataFrame,
+    total_documents: int,
+    threshold: float,
+    k1: float = 1.2,
+    b: float = 0.75,
+    use_stems: bool = True,
+    doc_stats_agg: tuple | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """ALL documents whose BM25 score rounds to >= ``threshold`` —
+    the score-threshold form of the MaxScore/block-max pruned path
+    (reference capability: Ranker.java:64-118's scoring, pruned).
+
+    This exists so the pruning machinery itself is ORACLE-CHECKABLE:
+    MaxScore is exact, and unlike a top-k LIMIT over float-ordered rows
+    (banned — boundary ties pick different rows per engine) a literal
+    threshold with a wide score gap around it selects the same set in
+    any engine. The oracle is plain relational BM25 + HAVING.
+
+    The same pruning as blocked_maxscore_topk's big-query path runs,
+    with theta := threshold - 1e-6 (the slack absorbs the <=1-ulp
+    driver-math vs JVM log discrepancy; every pruning step is exact):
+    1. non-essential terms: ub-sorted prefix with cumsum < theta —
+       docs appearing only there are provably below the threshold;
+    2. TRUE block-max: blocks whose metadata ub < theta are dropped
+       before any byte/array is touched (essential terms included);
+    3. candidates decode from essential terms' live blocks only;
+       non-essential terms decode only candidate-intersecting blocks.
+    Returns (url, score) with score rounded to ``round_to``.
+    """
+    words = sorted(
+        {w.lower() for w in (expand_query(query) if use_stems else query.split())}
+    )
+    empty = spark.createDataFrame([], "url string, score double")
+    if not words:
+        return empty
+    n = float(total_documents)
+    theta = threshold - 1e-6
+
+    if doc_stats_agg is not None:
+        avgdl, min_dl = float(doc_stats_agg[0]), float(doc_stats_agg[1])
+    else:
+        stats = doc_stats_idx.agg(
+            F.avg("n_term_entries").alias("avgdl"),
+            F.min("n_term_entries").alias("min_dl"),
+        ).collect()[0]
+        avgdl = float(stats["avgdl"] or 1.0)
+        min_dl = float(stats["min_dl"] or 1.0)
+
+    qblocks = blocks.where(F.col("term").isin(words)).persist()
+    tstats = (
+        qblocks.groupBy("term")
+        .agg(F.sum("n_docs").alias("df"), F.max("max_tf").alias("max_tf"))
+        .collect()
+    )
+    if not tstats:
+        qblocks.unpersist()
+        return empty
+
+    def idf(df_):
+        return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
+
+    dfs = {r["term"]: int(r["df"]) for r in tstats}
+    ub = {
+        r["term"]: idf(r["df"])
+        * (float(r["max_tf"]) * (k1 + 1))
+        / (float(r["max_tf"]) + k1 * (1 - b + b * min_dl / avgdl))
+        for r in tstats
+    }
+
+    # (1) essential suffix by ub; a doc only in the dropped prefix
+    # scores < theta < threshold
+    by_ub = sorted(ub.items(), key=lambda kv: kv[1])
+    cum = 0.0
+    essential = set(ub)
+    for t, u in by_ub:
+        if cum + u < theta:
+            cum += u
+            essential.discard(t)
+        else:
+            break
+    if not essential:  # sum of ALL ubs < theta: provably empty
+        qblocks.unpersist()
+        return empty
+
+    # (2) block-max pruning straight off (term, block_id, max_tf) rows
+    idf_by_term = {t2: idf(dfs[t2]) for t2 in dfs}
+    live = _live_block_ids(qblocks, idf_by_term, theta, k1, b, min_dl, avgdl)
+    qblocks_live = qblocks.join(live, "block_id", "left_semi")
+
+    # (3) candidates from essential live blocks; non-essential terms
+    # decode only blocks holding a candidate's doc range
+    from .compression import scoring_entries
+
+    ess_decoded = scoring_entries(
+        qblocks_live.where(F.col("term").isin(sorted(essential)))
+    ).persist()
+    candidates = ess_decoded.select("doc_index").distinct()
+    non_ess = sorted(set(ub) - essential)
+    if non_ess:
+        cand_blocks = candidates.select(
+            (F.col("doc_index") / F.lit(float(_block_span(blocks))))
+            .cast("long")
+            .alias("block_id")
+        ).distinct()
+        ne_blocks = qblocks.where(F.col("term").isin(non_ess)).join(
+            F.broadcast(cand_blocks), "block_id", "left_semi"
+        )
+        decoded = ess_decoded.unionByName(scoring_entries(ne_blocks))
+    else:
+        decoded = ess_decoded
+
+    idf_map = F.create_map(
+        *[x for t in idf_by_term for x in (F.lit(t), F.lit(idf_by_term[t]))]
+    )
+
+    def _partial(dl_col):
+        return (
+            idf_map[F.col("term")]
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * dl_col / F.lit(avgdl)))
+        )
+
+    if "dl" in decoded.columns:  # join-free off the denormalized block dls
+        scored = decoded.join(candidates, "doc_index", "left_semi").select(
+            "doc_index", _partial(F.col("dl")).alias("partial")
+        )
+    else:
+        scored = (
+            decoded.join(candidates, "doc_index", "left_semi")
+            .join(
+                doc_stats_idx.select("doc_index", "n_term_entries"), "doc_index"
+            )
+            .select("doc_index", _partial(F.col("n_term_entries")).alias("partial"))
+        )
+    survivors = (
+        scored.groupBy("doc_index")
+        .agg(F.round(F.sum("partial"), round_to).alias("score"))
+        .where(F.col("score") >= F.lit(threshold))
+    )
+    out = (
+        survivors.join(doc_stats_idx.select("doc_index", "url"), "doc_index")
+        .select("url", "score")
+        .localCheckpoint(eager=True)
+    )
+    qblocks.unpersist()
+    ess_decoded.unpersist()
+    return out
 
 
 def _block_span(blocks: DataFrame) -> int:

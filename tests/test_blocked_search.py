@@ -199,3 +199,112 @@ def test_blocked_proximity_topk_counts(spark):
     # anchor on beta instead: counts anchor occurrences of beta
     assert run(["beta", "alpha"], 5) == {"u0": 1, "u1": 1, "u3": 1}
     blocks.unpersist()
+
+
+@pytest.mark.parametrize("threshold", [0.5, 1.5, 3.0, 99.0])
+def test_blocked_maxscore_threshold_equals_naive(spark, threshold):
+    """The score-threshold form of the pruned path (the oracle-checked
+    driver entry's machinery) returns exactly the naive scorer's docs
+    with round(score,4) >= threshold — including the provably-empty
+    short-circuit when the threshold exceeds the total ub sum."""
+    from google_like_search_engine_spark.wand import blocked_maxscore_threshold
+
+    docs = _random_docs(spark, n=150, seed=29)
+    postings = build_postings(docs).persist()
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(idx, "doc_id"), block_span=32).persist()
+    doc_stats = postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    doc_stats_idx = doc_stats.join(idx, "doc_id").select(
+        "doc_index", "url", "n_term_entries"
+    ).persist()
+    n = docs.count()
+
+    query = "spark shuffle index"
+    naive = score_bm25(spark, query, postings, doc_stats, n).collect()
+    expected = {
+        r["url"]: round(r["score"], 4)
+        for r in naive
+        if round(r["score"], 4) >= threshold
+    }
+    got = {
+        r["url"]: r["score"]
+        for r in blocked_maxscore_threshold(
+            spark, query, blocks, doc_stats_idx, n, threshold=threshold
+        ).collect()
+    }
+    assert set(got) == set(expected), (threshold, len(got), len(expected))
+    for url, s in got.items():
+        assert s == pytest.approx(expected[url], abs=1e-9)
+    for df in (postings, blocks, doc_stats_idx):
+        df.unpersist()
+
+
+def test_blocked_maxscore_threshold_prunes_blocks(spark):
+    """On the tf-skewed corpus a high threshold drops cold blocks via
+    the metadata bound while the surviving set stays exact."""
+    import math
+
+    from google_like_search_engine_spark.wand import (
+        _live_block_ids,
+        blocked_maxscore_threshold,
+    )
+
+    rows = []
+    for i in range(8):
+        rows.append((f"d{i:03d}", f"http://x.com/{i:03d}.html",
+                     " ".join(["spark shuffle"] * 30)))
+    for i in range(8, 160):
+        rows.append((f"d{i:03d}", f"http://x.com/{i:03d}.html",
+                     "filler words here spark shuffle other stuff"))
+    docs = spark.createDataFrame(rows, "doc_id string, url string, text string")
+    postings = build_postings(docs).persist()
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(idx, "doc_id"), block_span=16).persist()
+    doc_stats = postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    doc_stats_idx = doc_stats.join(idx, "doc_id").select(
+        "doc_index", "url", "n_term_entries"
+    ).persist()
+    n = docs.count()
+    naive = score_bm25(spark, "spark shuffle", postings, doc_stats, n).collect()
+    scores = sorted((round(r["score"], 4) for r in naive), reverse=True)
+    threshold = round((scores[7] + scores[8]) / 2, 4)  # between hot and cold
+
+    got = {
+        r["url"]: r["score"]
+        for r in blocked_maxscore_threshold(
+            spark, "spark shuffle", blocks, doc_stats_idx, n, threshold=threshold
+        ).collect()
+    }
+    expected = {
+        r["url"]: round(r["score"], 4)
+        for r in naive
+        if round(r["score"], 4) >= threshold
+    }
+    assert got == pytest.approx(expected)
+    assert len(got) == 8
+
+    # direct evidence the metadata bound drops cold blocks at this theta
+    from google_like_search_engine_spark.ranker import expand_query
+
+    words = sorted({w.lower() for w in expand_query("spark shuffle")})
+    qblocks = blocks.where(F.col("term").isin(words))
+    dfs = {
+        r["term"]: r["df"]
+        for r in qblocks.groupBy("term").agg(F.sum("n_docs").alias("df")).collect()
+    }
+    idf = {t: math.log((n - d + 0.5) / (d + 0.5) + 1.0) for t, d in dfs.items()}
+    stats = doc_stats_idx.agg(
+        F.avg("n_term_entries").alias("a"), F.min("n_term_entries").alias("m")
+    ).collect()[0]
+    total_blocks = qblocks.select("block_id").distinct().count()
+    live = _live_block_ids(
+        qblocks, idf, threshold - 1e-6, 1.2, 0.75,
+        float(stats["m"]), float(stats["a"]),
+    ).count()
+    assert 1 <= live < total_blocks, (live, total_blocks)
+    for df in (postings, blocks, doc_stats_idx):
+        df.unpersist()

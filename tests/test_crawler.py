@@ -256,3 +256,83 @@ def test_crawl_delay_defers_but_converges(spark, tmp_path):
 
     n_rounds = len(glob.glob(f"{state}/round=*"))
     assert len(rows) == n_rounds == 4
+
+
+def test_host_cap_resume_and_compaction_match_uninterrupted(spark, pages, tmp_path):
+    """The incremental host-count deltas (host_delta/host_full) give the
+    SAME host_capped statuses across kill/resume and compaction folds as
+    one uninterrupted crawl."""
+    kw = dict(host_page_cap=2, compact_every=2)
+    one_shot = crawl(
+        spark, pages, [url_for(0)], str(tmp_path / "hc_a"),
+        max_rounds=300, **kw,
+    )
+    ref = sorted((r["url"], r["depth"], r["status"]) for r in one_shot.collect())
+
+    state = str(tmp_path / "hc_b")
+    crawl(spark, pages, [url_for(0)], state, max_rounds=3, **kw)
+    resumed = crawl(spark, pages, [url_for(0)], state, max_rounds=300, **kw)
+    got = sorted((r["url"], r["depth"], r["status"]) for r in resumed.collect())
+    assert got == ref
+
+
+def test_host_cap_seeds_from_visited_when_deltas_absent(spark, pages, tmp_path):
+    """Resuming WITH host_page_cap over a checkpoint crawled without it
+    (no host_delta tables anywhere) seeds the cumulative counts from the
+    visited table instead of ignoring pre-resume fetches."""
+    state = str(tmp_path / "hc_seed")
+    partial = crawl(spark, pages, [url_for(0)], state, max_rounds=4)
+    ok_before = {
+        r["url"] for r in partial.collect() if r["status"] == "ok"
+    }
+    resumed = crawl(
+        spark, pages, [url_for(0)], state, max_rounds=300, host_page_cap=2,
+    )
+    rows = resumed.collect()
+    # pre-resume fetches count toward the cap: hosts already at >=2 ok
+    # pages must never gain another ok row after the resume
+    from collections import Counter
+
+    def host_of(u):
+        return u.split("://", 1)[1].split("/", 1)[0]
+
+    pre = Counter(host_of(u) for u in ok_before)
+    post = Counter(
+        host_of(r["url"]) for r in rows if r["status"] == "ok"
+    )
+    for h, n in pre.items():
+        if n >= 2:
+            assert post[h] == n, h
+    assert {r["status"] for r in rows} >= {"ok", "host_capped"}
+
+
+def test_resume_from_legacy_full_table_layout(spark, pages, expected_bfs, tmp_path):
+    """A pre-delta checkpoint (round dirs with visited/ full tables, no
+    visited_delta/) resumes instead of crashing on an empty path list;
+    a marker with NO table at all raises a clear layout error."""
+    import glob
+    import shutil
+
+    state = str(tmp_path / "legacy")
+    crawl(spark, pages, [url_for(0)], state, max_rounds=2)
+    last = _last_complete_round(spark, state)
+    deltas = sorted(glob.glob(f"{state}/round=*/visited_delta"))
+    assert deltas
+    full = spark.read.parquet(*deltas)
+    full.write.mode("overwrite").parquet(
+        f"{state}/round={last:05d}/visited"
+    )
+    for d in deltas:
+        shutil.rmtree(d)
+
+    resumed = crawl(spark, pages, [url_for(0)], state)
+    got = {r["url"]: r["depth"] for r in resumed.collect()}
+    assert got == expected_bfs
+
+    # marker but no table of any layout -> explicit error
+    bad = str(tmp_path / "legacy_bad")
+    crawl(spark, pages, [url_for(0)], bad, max_rounds=1)
+    for d in glob.glob(f"{bad}/round=*/visited_delta"):
+        shutil.rmtree(d)
+    with pytest.raises(ValueError, match="incompatible checkpoint layout"):
+        crawl(spark, pages, [url_for(0)], bad)

@@ -244,3 +244,69 @@ def test_served_boolean_filters(spark):
         ).collect()
     } == set(base_scores)
     eng.unpersist()
+
+
+def test_save_deletes_stale_metrics_sidecar(spark, tmp_path):
+    """Re-saving to a path that previously held build_metrics.json,
+    after a rebuild WITHOUT collect_metrics, must not leave the stale
+    sidecar describing the old index."""
+    import os
+
+    pages = generate_pages(spark, 60, partitions=2).where("lang = 'en'")
+    out = str(tmp_path / "idx")
+    eng = SearchEngine(spark).build(pages, run_pagerank=False, collect_metrics=True)
+    eng.save(out)
+    assert os.path.exists(out + "/build_metrics.json")
+    eng.unpersist()
+
+    eng2 = SearchEngine(spark).build(pages, run_pagerank=False)
+    eng2.save(out)
+    assert not os.path.exists(out + "/build_metrics.json")
+    eng2.unpersist()
+
+
+def test_pluggable_analyzer_build_and_merge(spark):
+    """The postings_fn seam: build with a plain-dialect analyzer, then
+    merge_pages re-uses the SAME analyzer for the delta (the merged
+    relation equals a one-shot plain build over the final corpus)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("http://a.com:80/p0.html", "alpha beta alpha"),
+        ("http://a.com:80/p1.html", "beta gamma"),
+        ("http://a.com:80/p2.html", "delta"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, text string")
+
+    def plain_fn(d):
+        toks = (
+            d.select("doc_id", "url", F.explode(F.split("text", " ")).alias("term"))
+            .where(F.col("term") != "")
+        )
+        return toks.groupBy("doc_id", "url", "term").agg(
+            F.count(F.lit(1)).cast("int").alias("tf")
+        )
+
+    eng = SearchEngine(spark).build(pages, run_pagerank=False, postings_fn=plain_fn)
+    # plain analyzer: no stem rows, tf is the raw token count
+    got = {
+        (r["url"], r["term"]): r["tf"] for r in eng.postings.collect()
+    }
+    assert got[("http://a.com:80/p0.html", "alpha")] == 2
+    assert len(got) == 5  # (p0:alpha,beta) (p1:beta,gamma) (p2:delta)
+
+    delta = spark.createDataFrame(
+        [("http://a.com:80/p0.html", "alpha epsilon"),
+         ("http://a.com:80/p3.html", "zeta")],
+        "url string, text string",
+    )
+    eng.merge_pages(delta)
+    merged = {
+        (r["url"], r["term"]): r["tf"] for r in eng.postings.collect()
+    }
+    assert merged[("http://a.com:80/p0.html", "alpha")] == 1  # replaced
+    assert ("http://a.com:80/p0.html", "beta") not in merged
+    assert merged[("http://a.com:80/p3.html", "zeta")] == 1  # appended
+    assert merged[("http://a.com:80/p1.html", "gamma")] == 1  # untouched
+    assert eng.total_documents == 4
+    eng.unpersist()
