@@ -567,6 +567,8 @@ class SearchEngine:
     # broadcast hint on the served path (roughly <=10 MB of urls)
     FILTER_BROADCAST_DF_CAP = 250_000
 
+    SERVE_ROWS_PER_PARTITION = 250_000
+
     def enable_serving(self) -> bool:
         """Pin the serving state the reference ranker keeps in RAM
         (RankerStarter.java:29-60 loads all index keys + pageranks into
@@ -575,7 +577,16 @@ class SearchEngine:
         to ONE Spark job — an IN-list term filter (no join), literal
         idf map, one groupBy + partial top-k. Returns False (and stays
         on the join path) when the vocabulary exceeds DICT_CAP — at
-        web scale the dictionary is sharded on the cluster instead."""
+        web scale the dictionary is sharded on the cluster instead.
+
+        The cached relation is laid out for the query path: hash-
+        clustered on term and sorted by term within partitions, so each
+        in-memory columnar batch covers a narrow term range and the
+        per-query IN-list filter skips whole cached batches on their
+        min/max stats (spark.sql.inMemoryColumnarStorage.partitionPruning)
+        instead of scanning the full corpus cache; the partition count
+        is sized to ~SERVE_ROWS_PER_PARTITION rows so a small corpus
+        doesn't pay 32 scheduled tasks per query for no parallelism."""
         assert self.postings is not None and self.term_df is not None
         if self.term_df.count() > self.DICT_CAP:
             return False
@@ -588,7 +599,13 @@ class SearchEngine:
             served = self.postings.join(
                 self.doc_stats.select("doc_id", "n_term_entries"), "doc_id"
             ).select("term", "url", "tf", "n_term_entries")
-        self._served = served.persist()
+        n_rows = sum(self._dict.values())
+        nparts = max(1, -(-n_rows // self.SERVE_ROWS_PER_PARTITION))
+        self._served = (
+            served.repartition(nparts, "term")
+            .sortWithinPartitions("term")
+            .persist()
+        )
         self._served.count()
         return True
 

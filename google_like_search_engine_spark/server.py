@@ -37,7 +37,8 @@ ENTRY_PAGE = """<!doctype html>
  li{margin:.3rem 0} .score{color:#999;font-size:.85rem;margin-left:.5rem}
 </style></head><body>
 <h1>spark search</h1>
-<form id="f"><input id="q" autocomplete="off" autofocus>
+<form id="f"><input id="q" autocomplete="off" autofocus
+ placeholder='query  |  +req -excl  |  &quot;exact phrase&quot;  |  a NEAR/5 b'>
 <button>Search</button></form>
 <div id="suggest"></div><ol id="results"></ol>
 <script>
@@ -52,21 +53,34 @@ q.addEventListener('input',async()=>{
 });
 document.getElementById('f').addEventListener('submit',async ev=>{
   ev.preventDefault(); res.innerHTML='';
-  // +term requires, -term excludes, the rest is the scored query
-  const words=q.value.split(/\\s+/).filter(Boolean);
-  const req=words.filter(w=>w[0]=='+').map(w=>w.slice(1));
-  const exc=words.filter(w=>w[0]=='-').map(w=>w.slice(1));
-  const plain=words.filter(w=>w[0]!='+'&&w[0]!='-');
-  let url='/search?query='+encodeURIComponent(plain.join(' '))+'&k=20';
-  if(req.length)url+='&required='+encodeURIComponent(req.join(','));
-  if(exc.length)url+='&excluded='+encodeURIComponent(exc.join(','));
+  const raw=q.value.trim();
+  // "quoted phrase" -> /phrase; a NEAR/5 b c -> /proximity;
+  // else +term requires, -term excludes, the rest is the scored query
+  const near=raw.match(/^(\\S+)\\s+NEAR\\/(\\d+)\\s+(.+)$/i);
+  let url;
+  if(raw.length>1&&raw[0]=='"'&&raw.endsWith('"')){
+    url='/phrase?query='+encodeURIComponent(raw.slice(1,-1))+'&k=20';
+  }else if(near){
+    const terms=[near[1]].concat(near[3].split(/\\s+/)).join(',');
+    url='/proximity?terms='+encodeURIComponent(terms)+'&window='+near[2]+'&k=20';
+  }else{
+    const words=raw.split(/\\s+/).filter(Boolean);
+    const req=words.filter(w=>w[0]=='+').map(w=>w.slice(1));
+    const exc=words.filter(w=>w[0]=='-').map(w=>w.slice(1));
+    const plain=words.filter(w=>w[0]!='+'&&w[0]!='-');
+    url='/search?query='+encodeURIComponent(plain.join(' '))+'&k=20';
+    if(req.length)url+='&required='+encodeURIComponent(req.join(','));
+    if(exc.length)url+='&excluded='+encodeURIComponent(exc.join(','));
+  }
   const r=await fetch(url);
   const js=await r.json();
+  if(js.error){s.textContent=js.error;return}
   for(const row of (js.results||[])){
     const li=document.createElement('li');
     const a=document.createElement('a'); a.href=row.url; a.textContent=row.url;
     const sc=document.createElement('span'); sc.className='score';
-    sc.textContent=row.score.toFixed(4);
+    sc.textContent=row.score!=null?row.score.toFixed(4)
+      :(row.n_occurrences!=null?row.n_occurrences:row.n_matches)+'\\u00d7';
     li.append(a,sc); res.append(li);
   }
 });

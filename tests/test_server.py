@@ -91,8 +91,11 @@ def test_entry_page_served(base_url):
         assert resp.status == 200
         assert resp.headers["Content-Type"].startswith("text/html")
         body = resp.read().decode("utf-8")
-    # the page drives the JSON routes the tests above verify
+    # the page drives the JSON routes the tests above verify,
+    # including the positional ones ("quoted phrase" / a NEAR/5 b)
     assert "/search?query=" in body and "/autocomplete?prefix=" in body
+    assert "/phrase?query=" in body and "/proximity?terms=" in body
+    assert "NEAR" in body and "n_occurrences" in body and "n_matches" in body
 
 
 def test_unknown_route_is_404(base_url):
