@@ -3,12 +3,14 @@
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes, UDF
 signatures — is real and tested. Decoding is REAL for the formats a
 pure-Python parser can handle without media libraries:
-- images: BMP (BI_RGB 24/32-bit), PPM (P6, maxval 255), and PNG
-  (8-bit grey/RGB/RGBA, non-interlaced, all five filters — stdlib
-  zlib does the inflate),
+- images: BMP (BI_RGB 24/32-bit), PPM (P6, maxval 255), PNG (8-bit
+  grey/RGB/RGBA, non-interlaced, all five filters — stdlib zlib does
+  the inflate), and baseline-DCT JPEG (full Huffman + IDCT + chroma
+  upsampling pipeline, analytics/jpeg.py; progressive/arithmetic
+  streams raise),
 - audio: PCM WAV (stdlib ``wave``).
-Lossy codec formats (JPEG/MP3/MP4) still raise NotImplementedError
-in strict mode — those need codec libraries this environment doesn't
+Compressed audio/video (MP3/MP4) still raise NotImplementedError in
+strict mode — those need codec libraries this environment doesn't
 ship — or produce a deterministic payload-derived fake in fake mode
 (used to exercise the 1->N frame-sampling shape and batch plumbing).
 
@@ -246,20 +248,25 @@ def encode_png(width: int, height: int, pixel_fn) -> bytes:
 def decode_image_batch(payload: bytes, meta: dict, fake: bool):
     """Decode one image payload to (w, h, channels, features[8]).
 
-    REAL path for BMP / PPM (pure-Python parsers above); compressed
-    formats raise in strict mode (no codec libs in this environment) or
-    produce a deterministic md5-derived fake in fake mode."""
+    REAL path for BMP / PPM / PNG / baseline JPEG (pure-Python parsers);
+    other formats raise in strict mode (no codec libs in this
+    environment) or produce a deterministic md5-derived fake in fake
+    mode."""
     if payload[:2] == b"BM":
         return _with_features(decode_bmp(payload))
     if payload[:2] == b"P6":
         return _with_features(decode_ppm(payload))
     if payload[:8] == _PNG_SIG:
         return _with_features(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return _with_features(decode_jpeg(payload))
     if not fake:
         raise NotImplementedError(
             "decode for this format requires an image library not present "
-            "in this environment; supply BMP/PPM/PNG payloads, run with "
-            "fake=True, or plug in a real decoder"
+            "in this environment; supply BMP/PPM/PNG/baseline-JPEG "
+            "payloads, run with fake=True, or plug in a real decoder"
         )
     w = int(meta.get("width", 16))
     h = int(meta.get("height", 16))
@@ -422,10 +429,17 @@ def synth_media_assets(spark, n: int = 30) -> DataFrame:
     for i in range(n):
         if i % 2 == 0:
             w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
-            # alternate container formats over the SAME pixel grid:
-            # features are format-independent, so BMP and PNG assets
-            # exercise both real decoders with identical outputs
-            encoder = encode_bmp if i % 4 == 0 else encode_png
+            # rotate container formats over the SAME pixel grid: BMP and
+            # PNG are lossless (identical features), JPEG is the real
+            # baseline codec at quant=1 (near-lossless: features agree
+            # to within the DCT rounding error) — all three decoders
+            # are exercised by the same asset table
+            if i % 6 == 4:
+                from .jpeg import encode_jpeg
+
+                encoder = lambda w_, h_, fn: encode_jpeg(w_, h_, fn, quant=1)  # noqa: E731
+            else:
+                encoder = encode_bmp if i % 6 == 0 else encode_png
             payload = encoder(
                 w, h,
                 lambda x, y, i=i: (

@@ -271,9 +271,10 @@ def _lsh_cosine_topk(spark, sf_dir):
 
 def _multimodal_image_features(spark, sf_dir):
     """Binary-column media pipeline, REAL strict-mode decode: the
-    fixture payloads are genuine BMP bytes (pure-Python encoder) and
-    the Arrow UDF parses them with the pure-Python BMP decoder — no
-    image library involved, no fake path."""
+    fixture payloads are genuine BMP / PNG / baseline-JPEG bytes
+    (pure-Python encoders) and the Arrow UDF parses them with the
+    pure-Python decoders (incl. the full JPEG Huffman+IDCT pipeline,
+    analytics/jpeg.py) — no image library involved, no fake path."""
     from .analytics.multimodal import image_features, synth_media_assets
 
     feats = image_features(synth_media_assets(spark, n=60), fake=False)

@@ -339,18 +339,30 @@ def test_wav_decode_real_mode(spark):
 
 
 def test_lossy_formats_still_raise_strict(spark):
-    """JPEG payloads (no pure-Python codec) keep the honest strict
-    NotImplementedError; PNG is now really decoded."""
+    """Formats without a pure-Python codec (e.g. WebP) keep the honest
+    strict NotImplementedError; PNG and baseline JPEG are now really
+    decoded, and a PROGRESSIVE JPEG raises rather than mis-decoding."""
     from google_like_search_engine_spark.analytics import multimodal
 
     assets = spark.createDataFrame(
-        [(0, "image", b"\xff\xd8\xff\xe0" + b"x" * 64, {"width": "4"})],
+        [(0, "image", b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"x" * 64,
+          {"width": "4"})],
         multimodal.ASSETS_SCHEMA,
     )
     import pytest as _pt
 
     with _pt.raises(Exception, match="NotImplementedError|image library"):
         multimodal.image_features(assets, fake=False).collect()
+
+    # progressive JPEG: SOI + SOF2 -> honest NotImplementedError
+    prog = spark.createDataFrame(
+        [(0, "image",
+          b"\xff\xd8\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0]),
+          {"width": "8"})],
+        multimodal.ASSETS_SCHEMA,
+    )
+    with _pt.raises(Exception, match="NotImplementedError|non-baseline"):
+        multimodal.image_features(prog, fake=False).collect()
 
 
 def test_png_encode_decode_roundtrip():
@@ -516,3 +528,84 @@ def test_png_roundtrip_property(w, h, seed):
     dw, dh, dc, got = decode_png(encode_png(w, h, pix))
     assert (dw, dh, dc) == (w, h, 3)
     assert got == [pix(x, y) for y in range(h) for x in range(w)]
+
+
+def test_jpeg_roundtrip_444_near_lossless():
+    """Baseline JPEG encode -> decode at quant=1 (4:4:4): every pixel
+    within the DCT float-rounding error of the original."""
+    from google_like_search_engine_spark.analytics.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def pix(x, y):
+        return ((x * 37 + 11) % 256, (y * 53 + 7) % 256, (x * y + 3) % 256)
+
+    for w, h in [(8, 8), (16, 16), (17, 13)]:  # incl. non-multiple-of-8
+        payload = encode_jpeg(w, h, pix, quant=1)
+        dw, dh, dc, got = decode_jpeg(payload)
+        assert (dw, dh, dc) == (w, h, 3)
+        err = max(
+            abs(a - b)
+            for y in range(h)
+            for x in range(w)
+            for a, b in zip(got[y * w + x], pix(x, y))
+        )
+        assert err <= 3, (w, h, err)
+    # deterministic bytes
+    assert encode_jpeg(16, 16, pix) == encode_jpeg(16, 16, pix)
+
+
+def test_jpeg_420_subsampling_decodes():
+    """4:2:0 chroma subsampling: the decoder's multi-block MCU +
+    upsampling path reconstructs chroma-smooth images near-exactly."""
+    from google_like_search_engine_spark.analytics.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    def smooth(x, y):
+        return (min(255, 50 + x * 3), min(255, 40 + y * 3), 100)
+
+    payload = encode_jpeg(24, 18, smooth, quant=1, subsample=True)
+    w, h, c, got = decode_jpeg(payload)
+    assert (w, h, c) == (24, 18, 3)
+    err = max(
+        abs(a - b)
+        for y in range(h)
+        for x in range(w)
+        for a, b in zip(got[y * w + x], smooth(x, y))
+    )
+    assert err <= 4, err
+
+
+def test_jpeg_strict_image_features(spark):
+    """image_features strict mode over genuine JPEG payloads — and the
+    synth asset table now rotates BMP/PNG/JPEG over the same pixel
+    grids, with JPEG features within the lossy tolerance of the
+    lossless ones."""
+    from google_like_search_engine_spark.analytics.jpeg import encode_jpeg
+    from google_like_search_engine_spark.analytics.multimodal import (
+        ASSETS_SCHEMA,
+        encode_bmp,
+        image_features,
+        synth_media_assets,
+    )
+
+    def pix(x, y):
+        return ((x * 9) % 256, (y * 7) % 256, (x + y) % 256)
+
+    assets = spark.createDataFrame(
+        [
+            (0, "image", encode_jpeg(12, 10, pix, quant=1), {}),
+            (1, "image", encode_bmp(12, 10, pix), {}),
+        ],
+        ASSETS_SCHEMA,
+    )
+    rows = {r["asset_id"]: r for r in image_features(assets, fake=False).collect()}
+    assert rows[0]["width"] == 12 and rows[0]["height"] == 10
+    for fj, fb in zip(rows[0]["features"], rows[1]["features"]):
+        assert abs(fj - fb) <= 0.05, (fj, fb)
+
+    feats = image_features(synth_media_assets(spark, n=24), fake=False).collect()
+    assert len(feats) == 12 and all(len(r["features"]) == 8 for r in feats)
