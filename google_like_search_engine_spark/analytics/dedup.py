@@ -277,3 +277,96 @@ def simhash_near_pairs(
     out = out.localCheckpoint(eager=True)
     signatures.unpersist()
     return out
+
+
+def embedding_near_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.4,
+    band_bits: int = 8,
+    bucket_cap: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-quantized band
+    buckets generate candidates, exact cosine verifies — never
+    all-pairs.
+
+    Each band is ``band_bits`` consecutive dimensions quantized to
+    their sign bits; two vectors whose angle is small agree on sign
+    bands with high probability (the deterministic, SQL-mirrorable
+    cousin of random-hyperplane LSH — no seeded projections, so the
+    DuckDB oracle reproduces candidates exactly). Pairs sharing ANY
+    band key join within that bucket only; buckets larger than
+    ``bucket_cap`` are skipped before the self-join (a degenerate
+    corpus of near-identical vectors would otherwise go quadratic —
+    same cap discipline as the MinHash path). Survivors verify with
+    the exact JVM-side cosine (zip_with + aggregate, no Python) and
+    only pairs with cos >= ``threshold`` return:
+    (id_a, id_b, cos_sim) with cos_sim rounded to 4.
+    """
+    n_bands = dim // band_bits
+
+    def bkey(b):
+        acc = F.lit(0)
+        for j in range(band_bits):
+            acc = acc + F.when(
+                F.element_at(F.col(vec_col), b * band_bits + j + 1).cast("double")
+                > 0,
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+        return acc
+
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), bkey(b).alias("bkey"))
+            for b in range(n_bands)
+        ]
+    )
+    keyed = (
+        emb.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    )
+    bucket_ok = (
+        keyed.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= bucket_cap)
+        .select("band", "bkey")
+    )
+    keyed = keyed.join(bucket_ok, ["band", "bkey"], "left_semi")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+    def nrm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.col(col),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+
+    cos = dot / (nrm("va") * nrm("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+    )

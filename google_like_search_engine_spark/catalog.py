@@ -1111,3 +1111,43 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c_nationkey
 """
+
+
+def tpch_q15_style(spark, sf_dir):
+    """TPC-H Q15 (top supplier by quarterly revenue), adapted to the
+    testdata schema (supplier lacks address/phone). The max-equality
+    over floats — the reason q15 was previously skipped — is made
+    cross-engine-deterministic by rounding per-supplier revenue to 3
+    decimals BEFORE the max/equality (mirrored in the oracle), and the
+    testdata's winner leads its runner-up by >16k so no rounding
+    boundary is in play. Revenue aggregates per supplier (one shuffle);
+    the scalar max broadcasts back over the tiny aggregate."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 3)
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    s = load(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.m)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+TPCH_Q15_STYLE_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 3) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""

@@ -899,3 +899,48 @@ WHERE EXISTS (SELECT 1 FROM tf r WHERE r.doc_id = tf.doc_id
                   AND x.w = '{EXCLUDED_TERM}')
 GROUP BY tf.doc_id
 """
+
+
+EMBED_NEARDUP_THRESHOLD = 0.4
+
+
+def embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over the embeddings table
+    (analytics/dedup.embedding_near_pairs): deterministic sign-band
+    candidate buckets + exact cosine verify. The oracle reproduces the
+    identical sign-band candidates relationally and the same cosine;
+    the 0.4 threshold sits >5e-4 from every candidate cosine at both
+    test SFs (scripts-side scan), so the selected set is engine-stable.
+    """
+    from .analytics.dedup import embedding_near_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(
+        emb, dim=64, threshold=EMBED_NEARDUP_THRESHOLD
+    ).withColumnsRenamed({"id_a": "vec_a", "id_b": "vec_b"})
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+bands AS (
+  SELECT vec_id, CAST((pos-1)//8 AS INT) AS band,
+         CAST(sum(CASE WHEN x > 0 THEN 1 << CAST((pos-1)%8 AS INT)
+                       ELSE 0 END) AS INT) AS bkey
+  FROM u GROUP BY 1, 2),
+ok AS (SELECT band, bkey FROM bands GROUP BY band, bkey
+       HAVING count(*) <= 1000),
+keyed AS (SELECT b.* FROM bands b JOIN ok USING (band, bkey)),
+cands AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM keyed a JOIN keyed b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+nrm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM u GROUP BY 1),
+dots AS (SELECT c.vec_a, c.vec_b, sum(ua.x * ub.x) AS dot
+         FROM cands c JOIN u ua ON ua.vec_id = c.vec_a
+         JOIN u ub ON ub.vec_id = c.vec_b AND ub.pos = ua.pos
+         GROUP BY 1, 2)
+SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
+WHERE dot / (na.nrm * nb.nrm) >= {EMBED_NEARDUP_THRESHOLD}
+"""

@@ -436,6 +436,7 @@ EXTRA_ORACLE_QUERIES = {
     "tpch_q12_style": (c.tpch_q12_style, c.TPCH_Q12_STYLE_SQL),
     "tpch_q13": (c.tpch_q13, c.TPCH_Q13_SQL),
     "tpch_q14": (c.tpch_q14, c.TPCH_Q14_SQL),
+    "tpch_q15_style": (c.tpch_q15_style, c.TPCH_Q15_STYLE_SQL),
     "tpch_q19_style": (c.tpch_q19_style, c.TPCH_Q19_STYLE_SQL),
     "tpch_q17_style": (c.tpch_q17_style, c.TPCH_Q17_STYLE_SQL),
     "tpch_q22_style": (c.tpch_q22_style, c.TPCH_Q22_STYLE_SQL),
@@ -480,6 +481,10 @@ EXTRA_ORACLE_QUERIES["proximity_search_blocked"] = (
 EXTRA_ORACLE_QUERIES["bm25_filtered_search"] = (
     t.bm25_filtered_search,
     t.BM25_FILTERED_SEARCH_SQL,
+)
+EXTRA_ORACLE_QUERIES["embedding_near_dup"] = (
+    t.embedding_near_dup,
+    t.EMBEDDING_NEAR_DUP_SQL,
 )
 # flame count/take: demoted from the 50-entry gate (round 4) to make
 # room for merge_pages_composite + bpe_merge_encode; parity-tested here

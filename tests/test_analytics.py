@@ -609,3 +609,33 @@ def test_jpeg_strict_image_features(spark):
 
     feats = image_features(synth_media_assets(spark, n=24), fake=False).collect()
     assert len(feats) == 12 and all(len(r["features"]) == 8 for r in feats)
+
+
+def test_embedding_near_pairs_finds_and_caps(spark):
+    """Sign-band candidates find a planted near-dup pair (exact cosine
+    verified), and the bucket cap drops a degenerate all-identical
+    cluster before the self-join."""
+    from google_like_search_engine_spark.analytics.dedup import (
+        embedding_near_pairs,
+    )
+
+    base = [1.0 if i % 3 == 0 else -0.5 for i in range(16)]
+    near = list(base)
+    near[0] += 0.05  # tiny perturbation: same sign pattern, cos ~ 1
+    far = [(-1.0) ** i * (i + 1) / 16.0 for i in range(16)]
+    rows = [(0, base), (1, near), (2, far)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_pairs(emb, dim=16, threshold=0.9).collect()
+    }
+    assert set(got) == {(0, 1)} and got[(0, 1)] > 0.99
+
+    # degenerate cluster: 12 identical vectors -> bucket_cap=10 skips
+    # every bucket they share, so no quadratic pair blowup
+    clones = [(i, base) for i in range(12)]
+    emb2 = spark.createDataFrame(clones, "vec_id long, embedding array<float>")
+    capped = embedding_near_pairs(
+        emb2, dim=16, threshold=0.9, bucket_cap=10
+    ).collect()
+    assert capped == []
