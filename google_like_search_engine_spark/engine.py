@@ -195,6 +195,45 @@ class SearchEngine:
             # leave a stale sidecar describing the previous index
             fs.delete(jpath, False)
 
+    def save_bucketed(self, name: str, path: str, buckets: int = 64) -> None:
+        """Persist postings + doc_stats as BUCKETED tables hash-
+        clustered on doc_id (``bucketBy`` -> Spark's bucketing catalog
+        metadata; data files land under ``path``). Both sides carry the
+        same bucket count on the same key, so doc-keyed joins between
+        them — the BM25 dl join on pre-dl layouts, doc-stats enrichment,
+        MERGE-style reconciliation — read bucket-to-bucket with NO
+        shuffle exchange: at 10^12 docs the exchange this removes is the
+        dominant cost of every doc-keyed operation. (The blocked layout
+        stays the serving path; bucketing is the BUILD-side co-location
+        story, exactly the "pre-partition the fact tables" discipline a
+        warehouse uses.) Tables register as {name}_postings /
+        {name}_doc_stats in the session catalog."""
+        assert self.postings is not None, "build first"
+        (
+            self.postings.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "doc_id")
+            .sortBy("doc_id")
+            .option("path", f"{path}/postings_bucketed")
+            .saveAsTable(f"{name}_postings")
+        )
+        (
+            self.doc_stats.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(buckets, "doc_id")
+            .sortBy("doc_id")
+            .option("path", f"{path}/doc_stats_bucketed")
+            .saveAsTable(f"{name}_doc_stats")
+        )
+
+    def bucketed_scoring_relation(self, name: str) -> DataFrame:
+        """(term, doc_id, url, tf, n_term_entries) joined bucket-to-
+        bucket from the save_bucketed tables — the exchange-free join
+        (tests assert the physical plan has no shuffle on doc_id)."""
+        p = self.spark.table(f"{name}_postings")
+        d = self.spark.table(f"{name}_doc_stats").select("doc_id", "n_term_entries")
+        return p.join(d, "doc_id")
+
     # -- blocked (compressed, term-bucket-partitioned) layout ---------------
 
     def save_blocked(self, path: str) -> None:

@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # bucketed-table metadata (engine.save_bucketed) lands here, not
+        # in a spark-warehouse/ dir polluting the repo working tree
+        .config("spark.sql.warehouse.dir", "/tmp/spark_graft_warehouse")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
         builder = builder.master(f"local[{cores}]")

@@ -2,7 +2,12 @@
 """spark-submit entry point: query a built index.
 
   python scripts/query_index.py --index /path/to/index \
-      --query "apples figs" [--scorer tfidf|bm25|bm25-blocked] [-k 10]
+      --query "apples figs" [--scorer tfidf|bm25|bm25-pruned|bm25-blocked|
+                             bm25-threshold|phrase|proximity]
+      [-k 10] [--threshold 1.5] [--window 5]
+
+phrase / proximity / bm25-threshold run against the blocked layout
+(<index>/blocked); proximity takes the query words as anchor+partners.
 """
 
 from __future__ import annotations
@@ -14,14 +19,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+BLOCKED_SCORERS = {"bm25-blocked", "bm25-threshold", "phrase", "proximity"}
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", required=True)
     ap.add_argument("--scorer", default="tfidf",
-                    choices=["tfidf", "bm25", "bm25-pruned", "bm25-blocked"])
+                    choices=["tfidf", "bm25", "bm25-pruned", "bm25-blocked",
+                             "bm25-threshold", "phrase", "proximity"])
     ap.add_argument("-k", type=int, default=10)
+    ap.add_argument("--threshold", type=float, default=1.0,
+                    help="score cutoff for bm25-threshold (all docs >= it)")
+    ap.add_argument("--window", type=int, default=5,
+                    help="token window for proximity")
     args = ap.parse_args()
 
     from google_like_search_engine_spark.engine import SearchEngine
@@ -29,11 +41,12 @@ def main():
 
     spark = get_spark("query_index")
     eng = SearchEngine(spark)
-    if args.scorer != "bm25-blocked":
-        # the blocked scorer reads only the self-contained blocked
-        # layout; loading the flat postings for it would add ~30 s of
+    if args.scorer not in BLOCKED_SCORERS:
+        # the blocked scorers read only the self-contained blocked
+        # layout; loading the flat postings for them would add ~30 s of
         # needless cold I/O
         eng.load(args.index)
+    blocked = os.path.join(args.index, "blocked")
     t0 = time.perf_counter()
     if args.scorer == "tfidf":
         res = eng.search(args.query, k=args.k)
@@ -41,14 +54,37 @@ def main():
         res = eng.search_bm25(args.query, k=args.k)
     elif args.scorer == "bm25-pruned":
         res = eng.search_bm25(args.query, k=args.k, pruned=True)
-    else:
-        res = eng.search_bm25_blocked(
-            os.path.join(args.index, "blocked"), args.query, k=args.k
+    elif args.scorer == "bm25-blocked":
+        res = eng.search_bm25_blocked(blocked, args.query, k=args.k)
+    elif args.scorer == "bm25-threshold":
+        from google_like_search_engine_spark.ranker import expand_query
+        from google_like_search_engine_spark.wand import (
+            blocked_maxscore_threshold,
+        )
+
+        words = sorted({w.lower() for w in expand_query(args.query)})
+        blocks, dsi, total, stats, term_stats = eng._pruned_blocked_scan(
+            blocked, words, compute_fallback=True
+        )
+        if blocks is None:
+            res = spark.createDataFrame([], "url string, score double")
+        else:
+            res = blocked_maxscore_threshold(
+                spark, args.query, blocks.drop("term_bucket"), dsi, total,
+                threshold=args.threshold, doc_stats_agg=stats,
+            )
+    elif args.scorer == "phrase":
+        res = eng.search_phrase_blocked(blocked, args.query, k=args.k)
+    else:  # proximity
+        res = eng.search_proximity_blocked(
+            blocked, args.query.split(), window=args.window, k=args.k
         )
     rows = res.collect()
     dt = (time.perf_counter() - t0) * 1000
+    val_col = next(c for c in res.columns if c != "url")
     for r in rows:
-        print(f"{r['score']:.6f}  {r['url']}")
+        v = r[val_col]
+        print(f"{v:.6f}  {r['url']}" if isinstance(v, float) else f"{v}  {r['url']}")
     print(f"[{len(rows)} results in {dt:.0f} ms]")
     spark.stop()
 

@@ -310,3 +310,40 @@ def test_pluggable_analyzer_build_and_merge(spark):
     assert merged[("http://a.com:80/p1.html", "gamma")] == 1  # untouched
     assert eng.total_documents == 4
     eng.unpersist()
+
+
+def test_bucketed_layout_join_is_exchange_free(spark, tmp_path):
+    """save_bucketed co-clusters postings and doc_stats on doc_id with
+    the same bucket count, so the doc-keyed join reads bucket-to-bucket
+    with NO shuffle exchange — the physical plan proof of the 100 TB
+    co-location story. Results equal the cached-relation join."""
+    import contextlib
+    import io
+
+    pages = generate_pages(spark, 80, partitions=2).where("lang = 'en'")
+    eng = SearchEngine(spark).build(pages, run_pagerank=False)
+    eng.save_bucketed("bt_test", str(tmp_path / "bucketed"), buckets=8)
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = eng.bucketed_scoring_relation("bt_test")
+        rows = j.collect()  # finalize the adaptive plan before reading it
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SelectedBucketsCount" in plan  # both scans are bucketed
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    expected = (
+        eng.postings.join(
+            eng.doc_stats.select("doc_id", "n_term_entries"), "doc_id"
+        ).collect()
+    )
+    key = lambda r: (r["doc_id"], r["term"], r["tf"])  # noqa: E731
+    assert sorted((key(r) for r in rows)) == sorted(key(r) for r in expected)
+    eng.unpersist()
