@@ -365,9 +365,13 @@ def sample_frames(assets: DataFrame, every_n: int = 10, fake: bool = False) -> D
 def decode_wav(payload: bytes):
     """PCM WAV via stdlib ``wave`` -> (sample_rate, n_samples,
     features[8]: mean/max/min of normalized 16-bit samples + duration +
-    channel count + zero-crossing rate + two reserved zeros)."""
+    channel count + zero-crossing rate + spectral centroid + spectral
+    rolloff(85%), both in Hz via numpy rfft — the real DSP summary a
+    training pipeline keys quality filters on)."""
     import io
     import wave
+
+    import numpy as np
 
     with wave.open(io.BytesIO(payload), "rb") as wf:
         sr = wf.getframerate()
@@ -385,7 +389,16 @@ def decode_wav(payload: bytes):
     zc = sum(
         1 for i in range(1, len(samples)) if (samples[i - 1] < 0) != (samples[i] < 0)
     ) / m
-    feats = [mean, mx, mn, n / float(sr or 1), float(ch), zc, 0.0, 0.0]
+    centroid = rolloff = 0.0
+    if len(samples) >= 2:
+        mag = np.abs(np.fft.rfft(np.asarray(samples, dtype=np.float64)))
+        freqs = np.fft.rfftfreq(len(samples), d=1.0 / (sr or 1))
+        total = float(mag.sum())
+        if total > 0.0:
+            centroid = float((freqs * mag).sum() / total)
+            cum = np.cumsum(mag)
+            rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * total))])
+    feats = [mean, mx, mn, n / float(sr or 1), float(ch), zc, centroid, rolloff]
     return sr, n, [float(x) for x in feats]
 
 

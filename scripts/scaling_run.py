@@ -241,6 +241,26 @@ ceil(N/8192) reducers — no single-reducer funnel anywhere.
 Regenerate: `python scripts/scaling_run.py {n_low} {lo['n_docs']}`.
 
 {STANDING_EVIDENCE}
+## Round-4 measured deltas (same-session interleaved A/Bs)
+
+Host epochs drifted 3-9x during round 4 (busyloop probe 0.83 s ->
+2.3 s -> 7.5 s for the same 20M-add loop, load external to the
+sandbox), so round-4 evidence is same-session interleaved A/Bs, which
+cancel epoch effects:
+
+- **index_build attribution** (BENCH/ab_index_build_round4.json,
+  scripts/ab_index_build.py): the denormalized-dl tokenize costs
+  2-7% end-to-end (1451->1424 and 1712->1596 docs/s in two runs);
+  the r2->r3 driver-bench drop to 1134 docs/s does not reproduce at
+  either measured epoch — host drift, not the dl change. dl stays
+  (it bought the 2.2x bm25_p50 win in round 3).
+- **Serving-cache layout** (term-clustered + sorted cached batches,
+  engine.enable_serving): p50 443->332 ms (-25%), p95 933->572 ms
+  (-39%) over 30 interleaved queries in one session, results
+  score-identical. The win is in-memory columnar batch pruning: the
+  per-query IN-list term filter now skips cached batches on min/max
+  term stats instead of scanning the whole corpus cache.
+
 ## Reference baseline
 
 The reference repo publishes no benchmark numbers (see BASELINE.md at

@@ -639,3 +639,21 @@ def test_embedding_near_pairs_finds_and_caps(spark):
         emb2, dim=16, threshold=0.9, bucket_cap=10
     ).collect()
     assert capped == []
+
+
+def test_wav_spectral_features():
+    """Spectral centroid/rolloff: a pure tone's centroid and rolloff
+    both sit at the tone frequency (FFT bin resolution)."""
+    import math
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    sr, f0, n = 8000, 1000, 4000
+    samples = [int(20000 * math.sin(2 * math.pi * f0 * k / sr)) for k in range(n)]
+    _sr, _n, feats = decode_wav(encode_wav(sr, samples))
+    centroid, rolloff = feats[6], feats[7]
+    assert abs(centroid - f0) < 25, centroid  # spectral leakage tolerance
+    assert abs(rolloff - f0) < 25, rolloff
