@@ -195,6 +195,27 @@ class SearchEngine:
             # leave a stale sidecar describing the previous index
             fs.delete(jpath, False)
 
+    def save_versioned(self, path: str) -> int:
+        """Persist the whole index (postings, doc_stats, dictionary,
+        pageranks, metrics sidecar) as ONE committed snapshot of a
+        VersionedTable (sources/versioned.py — the Iceberg-contract
+        stand-in): rebuilds and merges append new snapshots atomically,
+        ``load_versioned(path, version=...)`` time-travels to any
+        retained one. The first thing a reference user migrating a
+        production pt- table needs (SURVEY §1.4 row versioning,
+        kvs/RowVersioning.java:4-12). Returns the snapshot id."""
+        from .sources.versioned import VersionedTable
+
+        return VersionedTable(self.spark, path).write_snapshot_with(self.save)
+
+    def load_versioned(self, path: str, version: int | None = None,
+                       with_pageranks: bool = True) -> "SearchEngine":
+        """Load a committed index snapshot (default: current)."""
+        from .sources.versioned import VersionedTable
+
+        snap = VersionedTable(self.spark, path).snapshot_dir(version)
+        return self.load(snap, with_pageranks=with_pageranks)
+
     def save_bucketed(self, name: str, path: str, buckets: int = 64) -> None:
         """Persist postings + doc_stats as BUCKETED tables hash-
         clustered on doc_id (``bucketBy`` -> Spark's bucketing catalog

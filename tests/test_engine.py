@@ -347,3 +347,32 @@ def test_bucketed_layout_join_is_exchange_free(spark, tmp_path):
     key = lambda r: (r["doc_id"], r["term"], r["tf"])  # noqa: E731
     assert sorted((key(r) for r in rows)) == sorted(key(r) for r in expected)
     eng.unpersist()
+
+
+def test_versioned_index_save_load_time_travel(spark, tmp_path):
+    """save_versioned commits the whole index atomically; a merge
+    produces a new snapshot and load_versioned time-travels between
+    the pre- and post-merge indexes."""
+    from pyspark.sql import functions as F
+
+    base = generate_pages(spark, 50, partitions=2).where("lang = 'en'")
+    delta = (
+        generate_pages(spark, 8, partitions=1)
+        .where(F.col("lang") == "en")
+        .withColumn("text", F.concat("text", F.lit(" zephyrwordx")))
+    )
+    path = str(tmp_path / "vidx")
+    eng = SearchEngine(spark).build(base, run_pagerank=False)
+    v0 = eng.save_versioned(path)
+    eng.merge_pages(delta)
+    v1 = eng.save_versioned(path)
+    assert (v0, v1) == (0, 1)
+
+    old = SearchEngine(spark).load_versioned(path, version=0)
+    new = SearchEngine(spark).load_versioned(path)
+    old_terms = {r["term"] for r in old.postings.select("term").distinct().collect()}
+    new_terms = {r["term"] for r in new.postings.select("term").distinct().collect()}
+    assert "zephyrwordx" in new_terms and "zephyrwordx" not in old_terms
+    eng.unpersist()
+    old.unpersist()
+    new.unpersist()
