@@ -482,6 +482,27 @@ class SearchEngine:
             k=k, doc_stats_agg=stats, term_stats=term_stats,
         )
 
+    def search_bm25_threshold_blocked(
+        self, index_path: str, query: str, threshold: float
+    ) -> DataFrame:
+        """Every document scoring >= ``threshold`` (rounded BM25),
+        through the MaxScore/block-max pruned plan over the on-disk
+        blocked index — the alerting/filtering form of search (return
+        all sufficiently-relevant docs, not a fixed k), with the same
+        term-bucket partition pruning as the top-k path."""
+        from .wand import blocked_maxscore_threshold
+
+        words = sorted({w.lower() for w in expand_query(query)})
+        blocks, doc_stats_idx, total, stats, _ts = self._pruned_blocked_scan(
+            index_path, words, compute_fallback=True
+        )
+        if blocks is None:
+            return self.spark.createDataFrame([], "url string, score double")
+        return blocked_maxscore_threshold(
+            self.spark, query, blocks.drop("term_bucket"), doc_stats_idx,
+            total, threshold=threshold, doc_stats_agg=stats,
+        )
+
     def search_phrase_blocked(self, index_path: str, phrase: str, k: int = 10) -> DataFrame:
         """Exact positional phrase query off the blocked index's varint
         positions store (wand.blocked_phrase_topk). Term-bucket

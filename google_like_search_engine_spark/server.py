@@ -96,10 +96,11 @@ def make_server(
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
-    With ``blocked_path`` (a save_blocked dir), three more routes open
+    With ``blocked_path`` (a save_blocked dir), four more routes open
     up over the compressed store:
       GET /phrase?query=a+b&k=10           exact phrase counts
       GET /proximity?terms=a,b&window=5    all terms near each anchor
+      GET /threshold?query=a+b&threshold=1.5  all docs scoring >= cutoff
       GET /stats                           metadata-only index report
     """
 
@@ -202,6 +203,27 @@ def make_server(
                         ).collect()
                     ]
                     self._json(200, {"query": query, "results": rows})
+                elif u.path == "/threshold" and blocked_path:
+                    query = q.get("query", "")
+                    try:
+                        threshold = float(q.get("threshold", ""))
+                    except ValueError:
+                        threshold = None
+                    if not query or threshold is None:
+                        self._json(
+                            400, {"error": "need ?query= and float ?threshold="}
+                        )
+                        return
+                    rows = [
+                        {"url": r["url"], "score": float(r["score"])}
+                        for r in engine.search_bm25_threshold_blocked(
+                            blocked_path, query, threshold=threshold
+                        ).collect()
+                    ]
+                    self._json(
+                        200,
+                        {"query": query, "threshold": threshold, "results": rows},
+                    )
                 elif u.path == "/proximity" and blocked_path:
                     terms = [t for t in q.get("terms", "").split(",") if t]
                     k = self._k(q)

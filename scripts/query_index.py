@@ -57,22 +57,9 @@ def main():
     elif args.scorer == "bm25-blocked":
         res = eng.search_bm25_blocked(blocked, args.query, k=args.k)
     elif args.scorer == "bm25-threshold":
-        from google_like_search_engine_spark.ranker import expand_query
-        from google_like_search_engine_spark.wand import (
-            blocked_maxscore_threshold,
+        res = eng.search_bm25_threshold_blocked(
+            blocked, args.query, threshold=args.threshold
         )
-
-        words = sorted({w.lower() for w in expand_query(args.query)})
-        blocks, dsi, total, stats, term_stats = eng._pruned_blocked_scan(
-            blocked, words, compute_fallback=True
-        )
-        if blocks is None:
-            res = spark.createDataFrame([], "url string, score double")
-        else:
-            res = blocked_maxscore_threshold(
-                spark, args.query, blocks.drop("term_bucket"), dsi, total,
-                threshold=args.threshold, doc_stats_agg=stats,
-            )
     elif args.scorer == "phrase":
         res = eng.search_phrase_blocked(blocked, args.query, k=args.k)
     else:  # proximity

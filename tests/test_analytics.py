@@ -657,3 +657,55 @@ def test_wav_spectral_features():
     centroid, rolloff = feats[6], feats[7]
     assert abs(centroid - f0) < 25, centroid  # spectral leakage tolerance
     assert abs(rolloff - f0) < 25, rolloff
+
+
+def test_jpeg_property_roundtrip():
+    """Property: any small RGB image round-trips through the baseline
+    codec at quant=1 within the DCT rounding error (4:4:4), and with
+    constant chroma also through 4:2:0 (subsampling loses nothing when
+    chroma is flat)."""
+    from hypothesis import given, settings, strategies as st
+
+    from google_like_search_engine_spark.analytics.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 18),
+        h=st.integers(1, 14),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, seed):
+        import random
+
+        rng = random.Random(seed)
+        grid = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+                 for _ in range(w)] for _ in range(h)]
+        W, H, C, pix = decode_jpeg(
+            encode_jpeg(w, h, lambda x, y: grid[y][x], quant=1)
+        )
+        assert (W, H) == (w, h)
+        err = max(
+            abs(a - b)
+            for y in range(h)
+            for x in range(w)
+            for a, b in zip(pix[y * w + x], grid[y][x])
+        )
+        assert err <= 3, (w, h, seed, err)
+
+        grey = [[(v := rng.randrange(256), v, v) for _ in range(w)]
+                for _ in range(h)]
+        _w, _h, _c, pix2 = decode_jpeg(
+            encode_jpeg(w, h, lambda x, y: grey[y][x], quant=1, subsample=True)
+        )
+        err2 = max(
+            abs(a - b)
+            for y in range(h)
+            for x in range(w)
+            for a, b in zip(pix2[y * w + x], grey[y][x])
+        )
+        assert err2 <= 4, (w, h, seed, err2)
+
+    prop()

@@ -187,3 +187,19 @@ def test_search_with_boolean_filters(base_url, engine):
         f"{base_url}/search?query=search+engine&required={req}&excluded={req}&k=50"
     )
     assert code == 200 and body2["results"] == []
+
+
+def test_threshold_route(blocked_url):
+    code, body = _get(f"{blocked_url}/threshold?query=search+engine&threshold=0.5")
+    assert code == 200 and body["threshold"] == 0.5
+    assert body["results"], body
+    for r in body["results"]:
+        assert r["score"] >= 0.5
+    # raising the cutoff can only shrink the set
+    code2, body2 = _get(
+        f"{blocked_url}/threshold?query=search+engine&threshold=2.5"
+    )
+    assert code2 == 200
+    assert len(body2["results"]) <= len(body["results"])
+    code3, body3 = _get_allow_error(f"{blocked_url}/threshold?query=search+engine")
+    assert code3 == 400
