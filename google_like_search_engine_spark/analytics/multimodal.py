@@ -8,11 +8,16 @@ pure-Python parser can handle without media libraries:
   the inflate), and baseline-DCT JPEG (full Huffman + IDCT + chroma
   upsampling pipeline, analytics/jpeg.py; progressive/arithmetic
   streams raise),
-- audio: PCM WAV (stdlib ``wave``).
-Compressed audio/video (MP3/MP4) still raise NotImplementedError in
-strict mode — those need codec libraries this environment doesn't
-ship — or produce a deterministic payload-derived fake in fake mode
-(used to exercise the 1->N frame-sampling shape and batch plumbing).
+- audio: PCM WAV (stdlib ``wave``), with real spectral features
+  (numpy rfft centroid/rolloff),
+- video: MJPEG-in-AVI (RIFF chunk walk -> per-frame JPEG bytes ->
+  the same baseline JPEG decoder; sampled frames compose straight
+  into ``image_features``).
+Entropy-coded audio and inter-frame video (MP3/MP4/H.264) still raise
+NotImplementedError in strict mode — those need codec libraries this
+environment doesn't ship — or produce a deterministic payload-derived
+fake in fake mode (used to exercise the 1->N frame-sampling shape and
+batch plumbing).
 
 Asset table schema:
   asset_id: long, kind: string (image|audio|video), payload: binary,
@@ -334,22 +339,97 @@ def audio_features(assets: DataFrame, fake: bool = False) -> DataFrame:
     )
 
 
+def decode_avi_mjpeg(payload: bytes) -> list:
+    """Pure-Python MJPEG-in-AVI reader: walk the RIFF chunk tree and
+    return the list of per-frame JPEG byte strings ('00dc'/'00db'
+    chunks inside the 'movi' list). Frames decode with the baseline
+    JPEG codec (analytics/jpeg.py) — real video decode, no media lib."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    frames: list = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body = pos + 8
+            if fourcc == b"LIST":
+                walk(body + 4, body + size)  # skip the list type fourcc
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(payload[body : body + size])
+            pos = body + size + (size & 1)  # chunks pad to even
+
+    walk(12, len(payload))
+    return frames
+
+
+def encode_avi_mjpeg(width: int, height: int, frame_fns: list, fps: int = 10) -> bytes:
+    """Minimal deterministic MJPEG AVI writer: ``frame_fns`` is a list
+    of ``pixel_fn(x, y) -> (r,g,b)`` per frame, each encoded with the
+    baseline JPEG encoder. Synthesizes REAL compressed video payloads
+    for tests without any media library."""
+    from .jpeg import encode_jpeg
+
+    jpegs = [encode_jpeg(width, height, fn, quant=1) for fn in frame_fns]
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpegs)
+    maxbuf = max((len(j) for j in jpegs), default=0)
+    avih = struct.pack(
+        "<IIIIIIIIII16x",
+        1_000_000 // max(fps, 1), maxbuf * fps, 0, 0x10, n, 0, 1, maxbuf,
+        width, height,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIi8x",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, maxbuf, 0, 0,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def sample_frames(assets: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """video -> one row per sampled frame (asset_id, frame_idx, frame).
 
-    STUB: the fake treats the payload as fixed-size 256-byte 'frames'.
-    Demonstrates the 1->N explode shape a real frame sampler has."""
+    REAL path for MJPEG-in-AVI (RIFF parse above; each emitted frame
+    is the JPEG bytes of that frame, so sampled frames feed straight
+    into ``image_features`` — the sample->featurize composition a
+    video training pipeline runs). Other containers raise in strict
+    mode; fake mode keeps the fixed-256-byte pseudo-frames that
+    exercise the 1->N explode shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    frames = decode_avi_mjpeg(payload)
+                    for idx in range(0, len(frames), every_n):
+                        rows.append((aid, idx, frames[idx]))
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "video decode requires a media library not present; "
-                        "run with fake=True or plug in a real decoder"
+                        "video decode for this container requires a media "
+                        "library not present; supply MJPEG-AVI payloads, run "
+                        "with fake=True, or plug in a real decoder"
                     )
-                payload = bytes(payload)
                 n_frames = max(len(payload) // 256, 1)
                 for idx in range(0, n_frames, every_n):
                     rows.append((aid, idx, payload[idx * 256 : (idx + 1) * 256]))

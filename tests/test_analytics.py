@@ -711,3 +711,53 @@ def test_jpeg_property_roundtrip():
         assert err2 <= 6, (w, h, seed, err2)
 
     prop()
+
+
+def test_mjpeg_avi_video_sampling(spark):
+    """REAL video decode: an MJPEG AVI round-trips through the RIFF
+    parser, sampled frames are genuine JPEG bytes, and they compose
+    straight into image_features (the sample->featurize pipeline)."""
+    from google_like_search_engine_spark.analytics.jpeg import decode_jpeg
+    from google_like_search_engine_spark.analytics.multimodal import (
+        ASSETS_SCHEMA,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        image_features,
+        sample_frames,
+    )
+
+    w, h, n_frames = 16, 12, 9
+    fns = [
+        (lambda x, y, f=f: ((x * 10 + f * 20) % 256, (y * 7) % 256, f * 25 % 256))
+        for f in range(n_frames)
+    ]
+    avi = encode_avi_mjpeg(w, h, fns, fps=5)
+    frames = decode_avi_mjpeg(avi)
+    assert len(frames) == n_frames
+    dw, dh, _c, pix = decode_jpeg(frames[3])
+    assert (dw, dh) == (w, h)
+    # frame 3's red channel at (0,0) is 60 +- codec error
+    assert abs(pix[0][0] - 60) <= 6
+
+    assets = spark.createDataFrame(
+        [(7, "video", avi, {"fps": "5"})], ASSETS_SCHEMA
+    )
+    sampled = sample_frames(assets, every_n=3, fake=False).collect()
+    assert [r["frame_idx"] for r in sampled] == [0, 3, 6]
+    # sampled frames ARE images: feed them to the image featurizer
+    frame_assets = spark.createDataFrame(
+        [(r["frame_idx"], "image", bytes(r["frame"]), {}) for r in sampled],
+        ASSETS_SCHEMA,
+    )
+    feats = image_features(frame_assets, fake=False).collect()
+    assert len(feats) == 3
+    assert all(r["width"] == w and r["height"] == h for r in feats)
+
+    # non-AVI container still raises honestly in strict mode
+    import pytest as _pt
+
+    bad = spark.createDataFrame(
+        [(0, "video", b"\x00\x00\x00\x20ftypmp42" + b"x" * 64, {})], ASSETS_SCHEMA
+    )
+    with _pt.raises(Exception, match="NotImplementedError|media library"):
+        sample_frames(bad, fake=False).collect()
