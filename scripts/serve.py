@@ -23,8 +23,14 @@ def main():
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument(
         "--blocked",
-        help="blocked index dir for /phrase and /proximity routes "
+        help="blocked index dir for /phrase /proximity /threshold routes "
         "(defaults to <index>/blocked when present)",
+    )
+    ap.add_argument(
+        "--version", type=int, default=None,
+        help="serve a SNAPSHOT of a versioned index (save_versioned "
+        "layout): --version N time-travels, omitting it serves the "
+        "current snapshot; plain save() layouts ignore this flag",
     )
     args = ap.parse_args()
 
@@ -33,7 +39,23 @@ def main():
     from google_like_search_engine_spark.session import get_spark
 
     spark = get_spark("serve")
-    eng = SearchEngine(spark).load(args.index)
+    eng = SearchEngine(spark)
+    manifest = os.path.join(
+        args.index.removeprefix("file://"), "_manifest.json"
+    )
+    if os.path.exists(manifest):
+        from google_like_search_engine_spark.sources.versioned import (
+            VersionedTable,
+        )
+
+        vt = VersionedTable(spark, args.index)
+        snap = vt.snapshot_dir(args.version)
+        print(f"versioned index: serving snapshot dir {snap} "
+              f"(history {vt.history()})")
+        args.index = snap
+        eng.load(args.index)
+    else:
+        eng.load(args.index)
     served = eng.enable_serving()
     print(f"index loaded: {eng.total_documents} docs; "
           f"served path {'ON (single-job BM25)' if served else 'off (dictionary over cap)'}")
