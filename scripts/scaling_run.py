@@ -63,7 +63,13 @@ round 2 measured 2->8 eff 0.630, 4->16 eff 0.687, 8->32 eff
 0.496 (and 0.446 on 640k pages); round 3's 8->32 runs measured
 **0.761 raw / 0.834 ceiling-normalized** (headline) and, in a later
 epoch where the low side ran atypically fast, 0.646 raw / 0.766
-normalized. On a real N-node cluster
+normalized. Round 4 re-measured 8->32 at 0.471 raw / 0.591
+normalized (local[8] again atypically fast at 3,966 docs/s — the
+highest low-side throughput yet — while local[32] hit 7,478; the
+CPU-ceiling probe itself read 0.797 that epoch) and 0.329 on a
+40k-page corpus (too small: fixed JVM/job overhead dominates a ~10 s
+run, recorded for completeness, not comparable). Every point is one
+box sharing one memory bus. On a real N-node cluster
 each executor brings its own memory bus, page cache and disks — the
 resource that stops scaling here is the one a multi-node cluster
 multiplies by design.
