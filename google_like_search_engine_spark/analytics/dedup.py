@@ -323,9 +323,15 @@ def embedding_near_pairs(
             for b in range(n_bands)
         ]
     )
+    # the banded relation feeds the bucket-cap aggregation AND both
+    # self-join sides: persist it so the embedding scan + band math run
+    # once, then materialize the (small) candidate pair list executor-
+    # side and release the cache (the signature-relation discipline the
+    # MinHash path uses)
     keyed = (
         emb.select(F.col(id_col).alias("id"), F.explode(band_structs).alias("bb"))
         .select("id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .persist()
     )
     bucket_ok = (
         keyed.groupBy("band", "bkey")
@@ -333,8 +339,8 @@ def embedding_near_pairs(
         .where(F.col("n") <= bucket_cap)
         .select("band", "bkey")
     )
-    keyed = keyed.join(bucket_ok, ["band", "bkey"], "left_semi")
-    a, b = keyed.alias("a"), keyed.alias("b")
+    capped = keyed.join(bucket_ok, ["band", "bkey"], "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
     cands = (
         a.join(
             b,
@@ -344,7 +350,9 @@ def embedding_near_pairs(
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    keyed.unpersist()
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     dot = F.aggregate(

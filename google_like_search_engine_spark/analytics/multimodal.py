@@ -5,9 +5,10 @@ signatures — is real and tested. Decoding is REAL for the formats a
 pure-Python parser can handle without media libraries:
 - images: BMP (BI_RGB 24/32-bit), PPM (P6, maxval 255), PNG (8-bit
   grey/RGB/RGBA, non-interlaced, all five filters — stdlib zlib does
-  the inflate), and baseline-DCT JPEG (full Huffman + IDCT + chroma
+  the inflate), baseline-DCT JPEG (full Huffman + IDCT + chroma
   upsampling pipeline, analytics/jpeg.py; progressive/arithmetic
-  streams raise),
+  streams raise), and GIF 87a/89a (LZW + interlace + global/local
+  palettes, first frame, analytics/gif.py),
 - audio: PCM WAV (stdlib ``wave``), with real spectral features
   (numpy rfft centroid/rolloff),
 - video: MJPEG-in-AVI (RIFF chunk walk -> per-frame JPEG bytes ->
@@ -267,6 +268,10 @@ def decode_image_batch(payload: bytes, meta: dict, fake: bool):
         from .jpeg import decode_jpeg
 
         return _with_features(decode_jpeg(payload))
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return _with_features(decode_gif(payload))
     if not fake:
         raise NotImplementedError(
             "decode for this format requires an image library not present "

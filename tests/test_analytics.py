@@ -761,3 +761,52 @@ def test_mjpeg_avi_video_sampling(spark):
     )
     with _pt.raises(Exception, match="NotImplementedError|media library"):
         sample_frames(bad, fake=False).collect()
+
+
+def test_gif_roundtrip_and_features(spark):
+    """GIF LZW round-trip is EXACT (palette-indexed, lossless), the
+    interlaced layout decodes, and GIF payloads flow through
+    image_features strict mode like every other real format."""
+    from google_like_search_engine_spark.analytics.gif import (
+        decode_gif,
+        encode_gif,
+    )
+    from google_like_search_engine_spark.analytics.multimodal import (
+        ASSETS_SCHEMA,
+        image_features,
+    )
+
+    def pix(x, y):
+        return ((x * 40) % 200, (y * 30) % 120, ((x + y) * 10) % 80)
+
+    for w, h in [(11, 7), (16, 16), (1, 1), (300, 2)]:
+        payload = encode_gif(w, h, pix)
+        dw, dh, dc, got = decode_gif(payload)
+        assert (dw, dh, dc) == (w, h, 3)
+        assert got == [pix(x, y) for y in range(h) for x in range(w)], (w, h)
+
+    # hand-built interlaced image: rewrite the descriptor's interlace
+    # bit and re-order rows the way an interlaced encoder would
+    w, h = 4, 8
+    flat = encode_gif(w, h, pix)
+    rows = [[pix(x, y) for x in range(w)] for y in range(h)]
+    order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for y in range(start, h, step)]
+    inter = encode_gif(w, h, lambda x, y: rows[order[y]][x])
+    # flip the interlace flag in the image descriptor packed byte
+    idx = inter.index(b"\x2c")
+    inter = inter[: idx + 9] + bytes([inter[idx + 9] | 0x40]) + inter[idx + 10 :]
+    dw, dh, _c, got = decode_gif(inter)
+    assert got == [c for r in rows for c in r]
+
+    assets = spark.createDataFrame(
+        [(0, "image", encode_gif(12, 9, pix), {})], ASSETS_SCHEMA
+    )
+    feats = image_features(assets, fake=False).collect()
+    assert len(feats) == 1 and feats[0]["width"] == 12 and feats[0]["height"] == 9
+
+    # >256 distinct colors is an encoder error, not silent quantization
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="256"):
+        encode_gif(64, 64, lambda x, y: (x * 4, y * 4, (x ^ y) & 0xFF))
