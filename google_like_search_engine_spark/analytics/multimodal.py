@@ -530,20 +530,27 @@ def synth_media_assets(spark, n: int = 30) -> DataFrame:
             # rotate container formats over the SAME pixel grid: BMP and
             # PNG are lossless (identical features), JPEG is the real
             # baseline codec at quant=1 (near-lossless: features agree
-            # to within the DCT rounding error) — all three decoders
-            # are exercised by the same asset table
-            if i % 6 == 4:
+            # to within the DCT rounding error), GIF gets a
+            # palette-limited variant of the grid (<=256 colors is a
+            # format constraint) — all four decoders are exercised by
+            # the same asset table
+            if i % 8 == 4:
                 from .jpeg import encode_jpeg
 
                 encoder = lambda w_, h_, fn: encode_jpeg(w_, h_, fn, quant=1)  # noqa: E731
+            elif i % 8 == 6:
+                from .gif import encode_gif
+
+                encoder = encode_gif
             else:
-                encoder = encode_bmp if i % 6 == 0 else encode_png
+                encoder = encode_bmp if i % 8 == 0 else encode_png
+            quant = 32 if i % 8 == 6 else 1  # GIF: coarse palette
             payload = encoder(
                 w, h,
-                lambda x, y, i=i: (
-                    (x * 37 + i * 11) % 256,
-                    (y * 53 + i * 7) % 256,
-                    (x * y + i) % 256,
+                lambda x, y, i=i, q=quant: (
+                    (x * 37 + i * 11) % 256 // q * q,
+                    (y * 53 + i * 7) % 256 // q * q,
+                    (x * y + i) % 256 // q * q,
                 ),
             )
             rows.append(
