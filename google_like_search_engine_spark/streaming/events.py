@@ -165,3 +165,26 @@ def run_to_memory(stream_df: DataFrame, name: str, spark: SparkSession,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_dedup(
+    docs: DataFrame,
+    key_cols: list | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival per key
+    within the watermark horizon (``dropDuplicates`` over a watermarked
+    stream — Spark bounds the dedup state by the watermark instead of
+    remembering every key forever, which is what makes this run
+    indefinitely at ingest scale). ``key_cols`` defaults to a content
+    hash of the ``text`` column — the streaming twin of
+    analytics/dedup.exact_duplicates: a re-crawled byte-identical page
+    never re-enters the downstream index build."""
+    keyed = docs
+    if key_cols is None:
+        keyed = docs.withColumn(
+            "content_hash", F.md5(F.encode(F.col("text"), "utf-8"))
+        )
+        key_cols = ["content_hash"]
+    return keyed.withWatermark(ts_col, watermark).dropDuplicates(key_cols)

@@ -69,3 +69,52 @@ def test_stateful_sessionize(spark, events_dir):
     for r in rows:
         assert r["n_events"] == 3 and r["sum_value"] == pytest.approx(3.0)
         assert (r["session_end"] - r["session_start"]).total_seconds() == 600
+
+
+def test_stream_dedup_drops_reappearing_content(spark, tmp_path):
+    """Watermarked streaming dedup: byte-identical texts arriving in a
+    later batch are dropped; distinct texts pass. availableNow drains
+    give deterministic batch boundaries."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.streaming.events import stream_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, ts timestamp, text string"
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(in_dir)
+
+    import datetime
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    write_batch([(1, t0, "alpha beta"), (2, t0, "gamma delta"),
+                 (3, t0, "alpha beta")])  # in-batch dup
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream_dedup(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    got1 = spark.read.parquet(out_dir)
+    texts1 = [r["text"] for r in got1.collect()]
+    assert sorted(texts1) == ["alpha beta", "gamma delta"]
+
+    # batch 2: a cross-batch duplicate plus a genuinely new doc
+    write_batch([(4, t0 + datetime.timedelta(minutes=5), "alpha beta"),
+                 (5, t0 + datetime.timedelta(minutes=6), "epsilon zeta")])
+    drain()
+    texts2 = sorted(r["text"] for r in spark.read.parquet(out_dir).collect())
+    assert texts2 == ["alpha beta", "epsilon zeta", "gamma delta"]
