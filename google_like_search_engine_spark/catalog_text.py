@@ -944,3 +944,73 @@ SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
 FROM dots JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b
 WHERE dot / (na.nrm * nb.nrm) >= {EMBED_NEARDUP_THRESHOLD}
 """
+
+
+# Gopher-style document quality rules (public heuristics: word count
+# bounds, mean word length band, stopword floor, type-token floor) —
+# thresholds tuned to the synthetic corpus so both pass and fail sides
+# are non-empty at the test SFs.
+QUALITY_RULES = {
+    "min_tokens": 40,
+    "max_tokens": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "min_stop_ratio": 0.015,
+    "min_ttr": 0.30,
+}
+
+
+def quality_filter(spark, sf_dir):
+    """Rule-based quality FILTER over the quality facets (the
+    keep/drop decision a training-data pipeline applies after scoring):
+    every doc returns with its pass/fail verdict per rule and overall —
+    returning both sides keeps the oracle comparison total and lets the
+    pipeline audit why a doc was dropped."""
+    docs = load(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
+    toks = _tokens(docs)
+    r = QUALITY_RULES
+    feats = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        (F.sum(F.length("w")) / F.count(F.lit(1))).alias("mwl"),
+        (F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1))).alias("sr"),
+        (F.countDistinct("w") / F.count(F.lit(1))).alias("ttr"),
+    )
+    checks = {
+        "ok_len": (F.col("n_tokens") >= r["min_tokens"])
+        & (F.col("n_tokens") <= r["max_tokens"]),
+        "ok_mwl": (F.col("mwl") >= r["min_mean_word_len"])
+        & (F.col("mwl") <= r["max_mean_word_len"]),
+        "ok_stop": F.col("sr") >= r["min_stop_ratio"],
+        "ok_ttr": F.col("ttr") >= r["min_ttr"],
+    }
+    passed = checks["ok_len"] & checks["ok_mwl"] & checks["ok_stop"] & checks["ok_ttr"]
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        *[c.alias(n) for n, c in checks.items()],
+        passed.alias("keep"),
+    )
+
+
+QUALITY_FILTER_SQL = f"""
+WITH {_TOKENS_CTE},
+feats AS (
+  SELECT doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(len(w)) AS DOUBLE) / count(*) AS mwl,
+         CAST(sum(CASE WHEN w IN ({", ".join(f"'{t}'" for t in STOP_TERMS)}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS sr,
+         CAST(count(DISTINCT w) AS DOUBLE) / count(*) AS ttr
+  FROM tokens GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       n_tokens >= {QUALITY_RULES["min_tokens"]} AND n_tokens <= {QUALITY_RULES["max_tokens"]} AS ok_len,
+       mwl >= {QUALITY_RULES["min_mean_word_len"]} AND mwl <= {QUALITY_RULES["max_mean_word_len"]} AS ok_mwl,
+       sr >= {QUALITY_RULES["min_stop_ratio"]} AS ok_stop,
+       ttr >= {QUALITY_RULES["min_ttr"]} AS ok_ttr,
+       (n_tokens >= {QUALITY_RULES["min_tokens"]} AND n_tokens <= {QUALITY_RULES["max_tokens"]})
+       AND (mwl >= {QUALITY_RULES["min_mean_word_len"]} AND mwl <= {QUALITY_RULES["max_mean_word_len"]})
+       AND sr >= {QUALITY_RULES["min_stop_ratio"]}
+       AND ttr >= {QUALITY_RULES["min_ttr"]} AS keep
+FROM feats
+"""

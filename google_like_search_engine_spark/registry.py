@@ -486,6 +486,10 @@ EXTRA_ORACLE_QUERIES["embedding_near_dup"] = (
     t.embedding_near_dup,
     t.EMBEDDING_NEAR_DUP_SQL,
 )
+EXTRA_ORACLE_QUERIES["quality_filter"] = (
+    t.quality_filter,
+    t.QUALITY_FILTER_SQL,
+)
 # flame count/take: demoted from the 50-entry gate (round 4) to make
 # room for merge_pages_composite + bpe_merge_encode; parity-tested here
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
