@@ -271,11 +271,60 @@ def warc_to_pages(spark: SparkSession, path: str, dictionary) -> DataFrame:
     return extract_pages(ok, dictionary)
 
 
+def warc_media_assets(spark: SparkSession, path: str) -> DataFrame:
+    """WARC archives -> the multimodal asset table (analytics/
+    multimodal.ASSETS_SCHEMA): response records whose BODY is a
+    decodable media payload become (asset_id, kind, payload, meta)
+    rows, ready for image_features / audio_features / sample_frames.
+
+    The kind is sniffed from payload magic bytes JVM-side (substring
+    comparisons on the binary column — no Python worker, and no trust
+    in the Content-Type header, which real crawls get wrong
+    constantly); asset_id is the xxhash64 of the url. Records that are
+    neither media nor needed here (HTML et al.) are filtered out —
+    ``warc_to_pages`` handles those."""
+    from pyspark.sql import functions as F
+
+    recs = read_warc(spark, path).where(
+        (F.col("http_status").isNull()) | (F.col("http_status") == 200)
+    )
+    b = F.col("html")
+    riff = F.substring(b, 1, 4) == F.lit(b"RIFF")
+    is_image = (
+        (F.substring(b, 1, 2) == F.lit(b"BM"))
+        | (F.substring(b, 1, 2) == F.lit(b"P6"))
+        | (F.substring(b, 1, 8) == F.lit(b"\x89PNG\r\n\x1a\n"))
+        | (F.substring(b, 1, 2) == F.lit(b"\xff\xd8"))
+        | (F.substring(b, 1, 4) == F.lit(b"GIF8"))
+    )
+    is_audio = riff & (F.substring(b, 9, 4) == F.lit(b"WAVE"))
+    is_video = riff & (F.substring(b, 9, 4) == F.lit(b"AVI "))
+    kind = (
+        F.when(is_image, F.lit("image"))
+        .when(is_audio, F.lit("audio"))
+        .when(is_video, F.lit("video"))
+    )
+    return (
+        recs.withColumn("kind", kind)
+        .where(F.col("kind").isNotNull())
+        .select(
+            F.xxhash64("url").alias("asset_id"),
+            "kind",
+            b.alias("payload"),
+            F.create_map(
+                F.lit("url"), F.col("url"),
+                F.lit("content_type"), F.coalesce("content_type", F.lit("")),
+            ).alias("meta"),
+        )
+    )
+
+
 __all__ = [
     "parse_warc",
     "record_bytes",
     "write_warc",
     "read_warc",
     "warc_to_pages",
+    "warc_media_assets",
     "WARC_RECORDS_SCHEMA",
 ]

@@ -305,3 +305,58 @@ def test_concatenated_records_with_junk_property(bodies, junk):
     )
     recs2 = list(parse_warc(_gz.decompress(gz)))
     assert [r["html"] for r in recs2] == bodies
+
+
+def test_warc_media_assets_end_to_end(spark, tmp_path):
+    """A WARC holding HTML pages AND media bodies: warc_media_assets
+    sniffs the media records by magic (ignoring the Content-Type
+    header, which is deliberately wrong for one record) and the assets
+    flow through the real decoders."""
+    import datetime
+
+    from google_like_search_engine_spark.analytics.gif import encode_gif
+    from google_like_search_engine_spark.analytics.jpeg import encode_jpeg
+    from google_like_search_engine_spark.analytics.multimodal import (
+        audio_features,
+        encode_avi_mjpeg,
+        encode_bmp,
+        encode_wav,
+        image_features,
+        sample_frames,
+    )
+    from google_like_search_engine_spark.sources.warc import (
+        warc_media_assets,
+        write_warc,
+    )
+
+    pix = lambda x, y: ((x * 30) % 250, (y * 40) % 200, (x + y) % 100)  # noqa: E731
+    ts = datetime.datetime(2026, 2, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("http://m.example/page.html", ts, b"<html><body>hi there</body></html>"),
+        ("http://m.example/a.bmp", ts, encode_bmp(9, 6, pix)),
+        ("http://m.example/b.jpg", ts, encode_jpeg(8, 8, pix, quant=1)),
+        # wrong content type on purpose: sniffing must still say image
+        ("http://m.example/c.gif", ts, encode_gif(7, 5, pix)),
+        ("http://m.example/t.wav", ts, encode_wav(8000, [0, 900, -900] * 50)),
+        ("http://m.example/v.avi", ts,
+         encode_avi_mjpeg(8, 8, [pix, pix, pix, pix], fps=2)),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    out = str(tmp_path / "warc_media")
+    write_warc(pages, out)
+
+    assets = warc_media_assets(spark, out)
+    kinds = {r["kind"] for r in assets.collect()}
+    assert kinds == {"image", "audio", "video"}
+    assert assets.count() == 5  # the html page is not an asset
+
+    imgs = image_features(assets, fake=False).collect()
+    assert sorted((r["width"], r["height"]) for r in imgs) == [
+        (7, 5), (8, 8), (9, 6)
+    ]
+    aud = audio_features(assets, fake=False).collect()
+    assert len(aud) == 1 and aud[0]["sample_rate"] == 8000
+    frames = sample_frames(assets, every_n=2, fake=False).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 2]
