@@ -247,3 +247,39 @@ def rolling_fingerprints(
     return df.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
         fp, schema="id long, fingerprint array<long>"
     )
+
+
+FP_DF_CAP = 128
+
+
+def partial_dup_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    text_col: str = "text",
+    window: int = 32,
+    keep: int = 8,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Partial-duplicate detection: doc pairs sharing >= ``min_shared``
+    winnowing fingerprints (rolling_fingerprints) — robust to local
+    edits where exact/shingle dedup misses, the use the fingerprints
+    exist for. Fingerprints present in more than FP_DF_CAP docs are
+    excluded from the pair join (boilerplate windows would otherwise go
+    quadratic — the same cap discipline as the shingle and LSH paths).
+    Returns (id_a, id_b, n_shared)."""
+    fps = rolling_fingerprints(df, id_col, text_col, window=window, keep=keep)
+    ex = fps.select("id", F.explode("fingerprint").alias("fp")).distinct()
+    rare = (
+        ex.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") <= FP_DF_CAP)
+        .select("fp")
+    )
+    ex = ex.join(rare, "fp", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

@@ -1014,3 +1014,40 @@ SELECT doc_id, n_tokens,
        AND ttr >= {QUALITY_RULES["min_ttr"]} AS keep
 FROM feats
 """
+
+
+def lang_id_accuracy(spark, sf_dir):
+    """Evaluation composite for the language-ID heuristic: confusion
+    counts of the en_ratio predictor against the labeled lang column —
+    the accuracy readout a pipeline tracks when it gates training data
+    on predicted language."""
+    docs = load(spark, sf_dir, "documents")
+    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
+    toks = _tokens(docs)
+    feats = toks.groupBy("doc_id").agg(
+        (
+            F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1)) > 0.05
+        ).alias("pred_en")
+    )
+    joined = feats.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        joined.groupBy("lang", "pred_en")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("actual_en", F.col("lang") == "en")
+        .withColumn("correct", F.col("pred_en") == F.col("actual_en"))
+    )
+
+
+LANG_ID_ACCURACY_SQL = f"""
+WITH {_TOKENS_CTE},
+feats AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w IN ({", ".join(f"'{t}'" for t in STOP_TERMS)}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.05 AS pred_en
+  FROM tokens GROUP BY doc_id
+)
+SELECT d.lang, f.pred_en, count(*) AS n,
+       d.lang = 'en' AS actual_en,
+       f.pred_en = (d.lang = 'en') AS correct
+FROM feats f JOIN documents d ON d.doc_id = f.doc_id
+GROUP BY d.lang, f.pred_en
+"""

@@ -490,6 +490,10 @@ EXTRA_ORACLE_QUERIES["quality_filter"] = (
     t.quality_filter,
     t.QUALITY_FILTER_SQL,
 )
+EXTRA_ORACLE_QUERIES["lang_id_accuracy"] = (
+    t.lang_id_accuracy,
+    t.LANG_ID_ACCURACY_SQL,
+)
 # flame count/take: demoted from the 50-entry gate (round 4) to make
 # room for merge_pages_composite + bpe_merge_encode; parity-tested here
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)

@@ -810,3 +810,23 @@ def test_gif_roundtrip_and_features(spark):
 
     with _pt.raises(ValueError, match="256"):
         encode_gif(64, 64, lambda x, y: (x * 4, y * 4, (x ^ y) & 0xFF))
+
+
+def test_partial_dup_pairs_finds_edited_copy(spark):
+    """A doc with a one-word edit still shares most winnowing
+    fingerprints with its source; an unrelated doc shares none."""
+    from google_like_search_engine_spark.analytics.text import (
+        partial_dup_pairs,
+    )
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(40))
+    edited = base.replace("beta20", "EDITED")
+    other = " ".join(f"zeta{i} eta{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited), (3, other)], "id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in partial_dup_pairs(docs, min_shared=2).collect()
+    }
+    assert set(got) == {(1, 2)} and got[(1, 2)] >= 2
