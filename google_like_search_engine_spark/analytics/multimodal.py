@@ -3,9 +3,10 @@
 The Spark-side plumbing — schema, partitioning, Arrow batch shapes, UDF
 signatures — is real and tested. Decoding is REAL for the formats a
 pure-Python parser can handle without media libraries:
-- images: BMP (BI_RGB 24/32-bit), PPM (P6, maxval 255), PNG (8-bit
-  grey/RGB/RGBA, non-interlaced, all five filters — stdlib zlib does
-  the inflate), baseline-DCT JPEG (full Huffman + IDCT + chroma
+- images: BMP (BI_RGB 24/32-bit), PPM (P6, maxval 255), PNG
+  (grey/grey+alpha/RGB/RGBA at 8/16-bit, palette at 1/2/4/8-bit,
+  non-interlaced AND Adam7-interlaced, all five filters — stdlib zlib
+  does the inflate), baseline-DCT JPEG (full Huffman + IDCT + chroma
   upsampling pipeline, analytics/jpeg.py; progressive/arithmetic
   streams raise), and GIF 87a/89a (LZW + interlace + global/local
   palettes, first frame, analytics/gif.py),
@@ -153,17 +154,85 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, off: int, w: int, h: int, bpp: int, stride: int):
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at ``off``
+    (filter-type byte per line; ``bpp`` = bytes per pixel for the
+    left-neighbor offset, min 1 for sub-byte depths). Returns
+    (list-of-line-bytearrays, new offset)."""
+    prev = bytearray(stride)
+    lines = []
+    for _row in range(h):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up_left = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        lines.append(line)
+        prev = line
+    return lines, off
+
+
+def _png_line_pixels(line, w: int, nch: int, depth: int, palette):
+    """One unfiltered scanline -> list of (r, g, b)."""
+    if palette is not None:  # color type 3: palette indexes, any depth
+        out = []
+        if depth == 8:
+            for x in range(w):
+                out.append(palette[line[x] % len(palette)])
+        else:  # 1/2/4-bit packed indexes, MSB first
+            per_byte = 8 // depth
+            mask = (1 << depth) - 1
+            for x in range(w):
+                byte = line[x // per_byte]
+                shift = 8 - depth * (x % per_byte + 1)
+                out.append(palette[((byte >> shift) & mask) % len(palette)])
+        return out
+    step = nch * (2 if depth == 16 else 1)
+    take = 2 if depth == 16 else 1  # 16-bit: high byte (standard 8-bit view)
+    out = []
+    for x in range(w):
+        b0 = x * step
+        if nch in (1, 2):  # grey / grey+alpha
+            g = line[b0]
+            out.append((g, g, g))
+        else:  # RGB / RGBA (alpha dropped)
+            out.append((line[b0], line[b0 + take], line[b0 + 2 * take]))
+    return out
+
+
 def decode_png(payload: bytes):
-    """Pure-Python PNG decoder (stdlib zlib): 8-bit greyscale / RGB /
-    RGBA, non-interlaced, all five scanline filters (None/Sub/Up/
-    Average/Paeth). -> (width, height, channels, pixels [(r,g,b)]).
-    16-bit, palette, and Adam7-interlaced images raise — honestly
-    unimplemented, not faked."""
+    """Pure-Python PNG decoder (stdlib zlib): grey / grey+alpha / RGB /
+    RGBA at 8 or 16 bit (16-bit reads the high byte — the standard
+    8-bit view), palette (color type 3) at 1/2/4/8 bit, both
+    non-interlaced and Adam7-interlaced layouts, all five scanline
+    filters. -> (width, height, channels, pixels [(r,g,b)])."""
     import zlib
 
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -171,6 +240,8 @@ def decode_png(payload: bytes):
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = [tuple(data[3 * i : 3 * i + 3]) for i in range(len(data) // 3)]
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -178,48 +249,48 @@ def decode_png(payload: bytes):
     if ihdr is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
-        raise NotImplementedError(
-            f"PNG depth={depth} color={color} interlace={interlace} "
-            "not supported (8-bit grey/RGB/RGBA, non-interlaced only)"
-        )
-    nch = {0: 1, 2: 3, 6: 4}[color]
+    if color not in (0, 2, 3, 4, 6) or interlace not in (0, 1):
+        raise NotImplementedError(f"PNG color={color} interlace={interlace}")
+    palette = None
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        if depth not in (1, 2, 4, 8):
+            raise NotImplementedError(f"palette PNG depth={depth}")
+        palette = plte
+        nch = 1
+        bits_pp = depth
+    else:
+        if depth not in (8, 16):
+            raise NotImplementedError(f"PNG depth={depth} for color={color}")
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        bits_pp = nch * depth
     raw = zlib.decompress(bytes(idat))
-    stride = w * nch
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG pixel data")
-    prev = bytearray(stride)
-    pix = []
-    off = 0
-    for _row in range(h):
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        off += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - nch] if i >= nch else 0
-                up_left = prev[i - nch] if i >= nch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        for x in range(w):
-            b0 = x * nch
-            if nch == 1:
-                pix.append((line[b0], line[b0], line[b0]))
-            else:  # RGB / RGBA (alpha dropped)
-                pix.append((line[b0], line[b0 + 1], line[b0 + 2]))
-        prev = line
-    return w, h, nch, pix
+    bpp = max(1, bits_pp // 8)
+
+    def stride_of(width_px):
+        return (width_px * bits_pp + 7) // 8
+
+    pix = [(0, 0, 0)] * (w * h)
+    if interlace == 0:
+        lines, _ = _png_unfilter(raw, 0, w, h, bpp, stride_of(w))
+        for y, line in enumerate(lines):
+            row = _png_line_pixels(line, w, nch, depth, palette)
+            pix[y * w : (y + 1) * w] = row
+    else:  # Adam7: each pass is an independently-filtered sub-image
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            lines, off = _png_unfilter(raw, off, pw, ph, bpp, stride_of(pw))
+            for py, line in enumerate(lines):
+                row = _png_line_pixels(line, pw, nch, depth, palette)
+                y = y0 + py * dy
+                for px_i, rgb in enumerate(row):
+                    pix[y * w + x0 + px_i * dx] = rgb
+    return w, h, nch if palette is None else 3, pix
 
 
 def encode_png(width: int, height: int, pixel_fn) -> bytes:

@@ -453,32 +453,123 @@ def test_png_gray_and_rgba():
     assert pix == [(1, 2, 3), (4, 5, 6)]
 
 
-def test_png_unsupported_shapes_raise():
+def _png_chunk(ctype, data):
     import struct
     import zlib
+
+    return (
+        struct.pack(">I", len(data)) + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def test_png_unsupported_shapes_raise():
+    import struct
 
     import pytest as _pt
 
     from google_like_search_engine_spark.analytics.multimodal import decode_png
 
     def png_with_ihdr(depth, color, interlace):
-        def chunk(ctype, data):
-            return (
-                struct.pack(">I", len(data)) + ctype + data
-                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-            )
-
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
-        return b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        return b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
 
+    # 16-bit, palette and Adam7 are SUPPORTED now; the honest raises
+    # that remain are sub-byte greyscale depths, bad color types, and
+    # palette images missing their PLTE
     with _pt.raises(NotImplementedError):
-        decode_png(png_with_ihdr(16, 2, 0))  # 16-bit
+        decode_png(png_with_ihdr(4, 0, 0))  # 4-bit greyscale
     with _pt.raises(NotImplementedError):
-        decode_png(png_with_ihdr(8, 3, 0))  # palette
-    with _pt.raises(NotImplementedError):
-        decode_png(png_with_ihdr(8, 2, 1))  # interlaced
+        decode_png(png_with_ihdr(8, 5, 0))  # bogus color type
+    with _pt.raises(ValueError):
+        decode_png(png_with_ihdr(8, 3, 0))  # palette without PLTE
     with _pt.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\n")  # no IHDR
+
+
+def test_png_palette_and_16bit_and_greyalpha():
+    """Hand-built palette (8-bit and 4-bit), 16-bit RGB, and
+    grey+alpha PNGs decode to the expected pixels."""
+    import struct
+    import zlib
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def build(w, h, depth, color, raw, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _png_chunk(b"PLTE", b"".join(bytes(c) for c in plte))
+        return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    # 8-bit palette, 3x2: indexes per row with filter 0
+    raw8 = bytes([0, 0, 1, 2]) + bytes([0, 3, 3, 0])
+    w, h, c, pix = decode_png(build(3, 2, 8, 3, raw8, pal))
+    assert (w, h, c) == (3, 2, 3)
+    assert pix == [pal[0], pal[1], pal[2], pal[3], pal[3], pal[0]]
+
+    # 4-bit palette, 3x1: indexes 1,2,0 packed MSB-first -> 0x12, 0x00
+    raw4 = bytes([0, 0x12, 0x00])
+    _w, _h, _c, pix4 = decode_png(build(3, 1, 4, 3, raw4, pal))
+    assert pix4 == [pal[1], pal[2], pal[0]]
+
+    # 16-bit RGB 2x1: high bytes (10,20,30) and (40,50,60)
+    raw16 = bytes([0, 10, 99, 20, 99, 30, 99, 40, 99, 50, 99, 60, 99])
+    _w, _h, c16, pix16 = decode_png(build(2, 1, 16, 2, raw16))
+    assert pix16 == [(10, 20, 30), (40, 50, 60)] and c16 == 3
+
+    # grey+alpha 8-bit 2x1: (g=7,a=255),(g=200,a=0) -> alpha dropped
+    rawga = bytes([0, 7, 255, 200, 0])
+    _w, _h, _c, pixga = decode_png(build(2, 1, 8, 4, rawga))
+    assert pixga == [(7, 7, 7), (200, 200, 200)]
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """An Adam7-interlaced PNG built pass-by-pass decodes to the same
+    pixels as its non-interlaced twin."""
+    import struct
+    import zlib
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        _PNG_SIG,
+        decode_png,
+        encode_png,
+    )
+
+    w, h = 9, 6
+
+    def pix(x, y):
+        return ((x * 29 + 3) % 256, (y * 47 + 5) % 256, (x * y) % 256)
+
+    # reference: plain encode -> decode
+    _w, _h, _c, want = decode_png(encode_png(w, h, pix))
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            raw.append(0)  # filter: None
+            y = y0 + py * dy
+            for px_i in range(pw):
+                r, g, b = pix(x0 + px_i * dx, y)
+                raw += bytes((r, g, b))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    payload = (
+        _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    _w2, _h2, _c2, got = decode_png(payload)
+    assert got == want
 
 
 def test_png_strict_mode_through_spark(spark):
