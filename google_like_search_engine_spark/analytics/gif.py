@@ -63,24 +63,36 @@ def _lzw_decode(mcs: int, data: bytes, n_pixels: int) -> list:
     return out[:n_pixels]
 
 
-def decode_gif(payload: bytes):
-    """-> (width, height, 3, pixels row-major [(r,g,b)]) of the first
-    frame. Raises ValueError on malformed data."""
+def _iter_gif_frames(payload: bytes):
+    """Yield (width, height, composited pixel list) per frame, applying
+    GIF89a graphic-control disposal semantics between frames (0/1 leave,
+    2 restore the frame rect to background, 3 restore the pre-frame
+    canvas) and honoring the transparent index while drawing."""
     if payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
         raise ValueError("not a GIF payload")
-    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, packed, bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 0x07)
         gct = [tuple(payload[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
         pos += 3 * n
+    bg_rgb = gct[bg % len(gct)] if gct else (0, 0, 0)
+    canvas = [bg_rgb] * (w * h)
+    disposal, transparent = 0, None
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x3B:  # trailer
             break
-        if b0 == 0x21:  # extension: skip sub-blocks
+        if b0 == 0x21:  # extension
+            label = payload[pos + 1]
             pos += 2
+            if label == 0xF9 and payload[pos] >= 4:  # graphic control
+                gce_packed = payload[pos + 1]
+                disposal = (gce_packed >> 2) & 0x07
+                transparent = (
+                    payload[pos + 4] if gce_packed & 0x01 else None
+                )
             while payload[pos] != 0:
                 pos += 1 + payload[pos]
             pos += 1
@@ -116,51 +128,63 @@ def decode_gif(payload: bytes):
                     rows[y] = idxs[src * iw : (src + 1) * iw]
                     src += 1
             idxs = [i for r in rows for i in r]
-        # first frame composited onto the logical screen (frames can be
-        # smaller/offset; uncovered pixels default to palette 0)
-        pix = [ct[0] if ct else (0, 0, 0)] * (w * h)
+        before = list(canvas) if disposal == 3 else None
         for y in range(ih):
             for x in range(iw):
+                idx = idxs[y * iw + x]
+                if transparent is not None and idx == transparent:
+                    continue
                 gx, gy = left + x, top + y
                 if gx < w and gy < h:
-                    pix[gy * w + gx] = ct[idxs[y * iw + x] % len(ct)]
+                    canvas[gy * w + gx] = ct[idx % len(ct)]
+        yield w, h, list(canvas)
+        if disposal == 2:  # restore frame rect to background
+            for y in range(ih):
+                for x in range(iw):
+                    gx, gy = left + x, top + y
+                    if gx < w and gy < h:
+                        canvas[gy * w + gx] = bg_rgb
+        elif disposal == 3 and before is not None:
+            canvas = before
+        disposal, transparent = 0, None
+
+
+def decode_gif(payload: bytes):
+    """-> (width, height, 3, pixels row-major [(r,g,b)]) of the FIRST
+    composited frame. Raises ValueError on malformed data."""
+    for w, h, pix in _iter_gif_frames(payload):
         return w, h, 3, pix
     raise ValueError("GIF without an image block")
 
 
-def encode_gif(width: int, height: int, pixel_fn) -> bytes:
-    """Minimal deterministic GIF89a writer: builds the palette from the
-    image's distinct colors (<= 256 required) and emits literal LZW
-    codes with clear codes before the width would grow — the standard
-    uncompressed-GIF construction."""
-    pixels = [pixel_fn(x, y) for y in range(height) for x in range(width)]
-    palette = sorted(set((r & 0xFF, g & 0xFF, b & 0xFF) for r, g, b in pixels))
-    if len(palette) > 256:
-        raise ValueError("encode_gif needs <= 256 distinct colors")
-    index = {c: i for i, c in enumerate(palette)}
-    # pad palette to a power of two >= 2
-    size = 2
-    while size < len(palette):
-        size <<= 1
-    mcs = max(2, size.bit_length() - 1)  # LZW min code size (>= 2 per spec)
-    size = 1 << mcs
+def decode_gif_frames(payload: bytes):
+    """-> (width, height, [frame pixel lists]) — every composited frame
+    of an animated GIF (disposal methods applied between frames)."""
+    frames = []
+    w = h = 0
+    for w, h, pix in _iter_gif_frames(payload):
+        frames.append(pix)
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return w, h, frames
+
+
+def _lzw_literal_stream(indexes: list, mcs: int) -> bytes:
+    """Index list -> LZW byte stream of literal codes with clear codes
+    emitted before the width would grow (the uncompressed-GIF trick)."""
     clear = 1 << mcs
     end = clear + 1
     width_bits = mcs + 1
-
-    # literal emission: after each literal the decoder adds one dict
-    # entry; clear before next_code reaches 1 << width_bits
     out_codes = [clear]
     budget = (1 << width_bits) - end - 2
     since_clear = 0
-    for r, g, b in pixels:
+    for idx in indexes:
         if since_clear >= budget:
             out_codes.append(clear)
             since_clear = 0
-        out_codes.append(index[(r & 0xFF, g & 0xFF, b & 0xFF)])
+        out_codes.append(idx)
         since_clear += 1
     out_codes.append(end)
-
     acc = nbits = 0
     stream = bytearray()
     for code in out_codes:
@@ -172,16 +196,68 @@ def encode_gif(width: int, height: int, pixel_fn) -> bytes:
             nbits -= 8
     if nbits:
         stream.append(acc & 0xFF)
+    return bytes(stream)
+
+
+def _sub_blocks(stream: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _build_gif(width: int, height: int, frame_pixel_lists: list,
+               disposal: int = 1) -> bytes:
+    """Shared writer: one GLOBAL palette over all frames' colors, one
+    image block per frame (GCE with ``disposal`` between frames when
+    animated)."""
+    palette = sorted(
+        {(r & 0xFF, g & 0xFF, b & 0xFF) for pix in frame_pixel_lists for r, g, b in pix}
+    )
+    if len(palette) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    index = {c: i for i, c in enumerate(palette)}
+    size = 2
+    while size < len(palette):
+        size <<= 1
+    mcs = max(2, size.bit_length() - 1)
+    size = 1 << mcs
 
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", width, height, 0x80 | (mcs - 1), 0, 0)
     for i in range(size):
         out += bytes(palette[i] if i < len(palette) else (0, 0, 0))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
-    out.append(mcs)
-    for i in range(0, len(stream), 255):
-        chunk = stream[i : i + 255]
-        out.append(len(chunk))
-        out += chunk
-    out += b"\x00\x3b"
+    animated = len(frame_pixel_lists) > 1
+    for pix in frame_pixel_lists:
+        if animated:  # graphic control: disposal + 10ms delay
+            out += b"\x21\xf9\x04" + bytes([(disposal & 7) << 2, 1, 0, 0, 0])
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out.append(mcs)
+        idxs = [index[(r & 0xFF, g & 0xFF, b & 0xFF)] for r, g, b in pix]
+        out += _sub_blocks(_lzw_literal_stream(idxs, mcs))
+    out += b"\x3b"
     return bytes(out)
+
+
+def encode_gif(width: int, height: int, pixel_fn) -> bytes:
+    """Minimal deterministic single-frame GIF89a writer: builds the
+    palette from the image's distinct colors (<= 256 required) and
+    emits literal LZW codes with clear codes before the width would
+    grow — the standard uncompressed-GIF construction."""
+    pixels = [pixel_fn(x, y) for y in range(height) for x in range(width)]
+    return _build_gif(width, height, [pixels])
+
+
+def encode_gif_animated(width: int, height: int, frame_fns: list,
+                        disposal: int = 1) -> bytes:
+    """Animated GIF89a from per-frame ``pixel_fn(x, y)`` callables
+    (full-frame images, shared global palette, ``disposal`` applied
+    between frames)."""
+    frames = [
+        [fn(x, y) for y in range(height) for x in range(width)]
+        for fn in frame_fns
+    ]
+    return _build_gif(width, height, frames, disposal=disposal)

@@ -483,12 +483,14 @@ def encode_avi_mjpeg(width: int, height: int, frame_fns: list, fps: int = 10) ->
 def sample_frames(assets: DataFrame, every_n: int = 10, fake: bool = False) -> DataFrame:
     """video -> one row per sampled frame (asset_id, frame_idx, frame).
 
-    REAL path for MJPEG-in-AVI (RIFF parse above; each emitted frame
-    is the JPEG bytes of that frame, so sampled frames feed straight
-    into ``image_features`` — the sample->featurize composition a
-    video training pipeline runs). Other containers raise in strict
-    mode; fake mode keeps the fixed-256-byte pseudo-frames that
-    exercise the 1->N explode shape."""
+    REAL paths: MJPEG-in-AVI (RIFF parse above; each emitted frame is
+    that frame's JPEG bytes) and animated GIF (disposal-composited
+    frames re-encoded as lossless PNG bytes) — either way sampled
+    frames feed straight into ``image_features``, the
+    sample->featurize composition a video training pipeline runs.
+    Other containers raise in strict mode; fake mode keeps the
+    fixed-256-byte pseudo-frames that exercise the 1->N explode
+    shape."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -499,6 +501,17 @@ def sample_frames(assets: DataFrame, every_n: int = 10, fake: bool = False) -> D
                     frames = decode_avi_mjpeg(payload)
                     for idx in range(0, len(frames), every_n):
                         rows.append((aid, idx, frames[idx]))
+                    continue
+                if payload[:4] == b"GIF8":
+                    from .gif import decode_gif_frames
+
+                    w, h, gframes = decode_gif_frames(payload)
+                    for idx in range(0, len(gframes), every_n):
+                        pix = gframes[idx]
+                        rows.append((
+                            aid, idx,
+                            encode_png(w, h, lambda x, y: pix[y * w + x]),
+                        ))
                     continue
                 if not fake:
                     raise NotImplementedError(

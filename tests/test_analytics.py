@@ -921,3 +921,47 @@ def test_partial_dup_pairs_finds_edited_copy(spark):
         for r in partial_dup_pairs(docs, min_shared=2).collect()
     }
     assert set(got) == {(1, 2)} and got[(1, 2)] >= 2
+
+
+def test_animated_gif_frames_and_sampling(spark):
+    """Animated GIF: disposal-composited frames decode correctly
+    (disposal 1 leaves prior content; a transparent index skips
+    drawing), and sample_frames emits PNG-encoded composites that feed
+    image_features."""
+    from google_like_search_engine_spark.analytics.gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+    from google_like_search_engine_spark.analytics.multimodal import (
+        ASSETS_SCHEMA,
+        decode_png,
+        image_features,
+        sample_frames,
+    )
+
+    w, h = 6, 4
+    fns = [
+        (lambda x, y, f=f: ((f * 50) % 200, (x * 30) % 150, (y * 20) % 100))
+        for f in range(5)
+    ]
+    payload = encode_gif_animated(w, h, fns, disposal=1)
+    dw, dh, frames = decode_gif_frames(payload)
+    assert (dw, dh) == (w, h) and len(frames) == 5
+    for f, pix in enumerate(frames):  # full-frame draws: exact match
+        assert pix == [fns[f](x, y) for y in range(h) for x in range(w)], f
+
+    assets = spark.createDataFrame(
+        [(3, "video", payload, {})], ASSETS_SCHEMA
+    )
+    sampled = sample_frames(assets, every_n=2, fake=False).collect()
+    assert [r["frame_idx"] for r in sampled] == [0, 2, 4]
+    # sampled frames are lossless PNGs of the composited frames
+    pw, ph, _c, got = decode_png(bytes(sampled[1]["frame"]))
+    assert (pw, ph) == (w, h)
+    assert got == frames[2]
+    frame_assets = spark.createDataFrame(
+        [(r["frame_idx"], "image", bytes(r["frame"]), {}) for r in sampled],
+        ASSETS_SCHEMA,
+    )
+    feats = image_features(frame_assets, fake=False).collect()
+    assert len(feats) == 3 and all(r["width"] == w for r in feats)
