@@ -160,6 +160,15 @@ def _optimal_table(freqs: dict) -> tuple:
     bits = [0] * 33
     for i in range(257):
         if codesize[i]:
+            if codesize[i] > 32:
+                # libjpeg guards the same bound (jchuff.c MAX_CLEN): a
+                # Fibonacci-like frequency spiral can push a code past
+                # 32 bits, which the K.3 length-limit pass below cannot
+                # repair and which would otherwise crash as IndexError.
+                raise ValueError(
+                    f"huffman code length {codesize[i]} exceeds 32 bits; "
+                    "frequency distribution too skewed to encode"
+                )
             bits[codesize[i]] += 1
     # limit code lengths to 16 (T.81 K.3 adjustment)
     for length in range(32, 16, -1):

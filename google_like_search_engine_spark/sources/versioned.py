@@ -10,9 +10,12 @@ JSON manifest, deliberately shaped like the table-format contract so a
 real deployment swaps it for Iceberg by replacing this module only:
 
 - every write lands in a fresh ``snap=N`` directory; the table state
-  is a manifest (``_manifest.json``) naming the current snapshot, and
-  the commit is the ATOMIC rename of a temp manifest over it (the same
-  single-pointer-swap Iceberg does against its catalog);
+  is a manifest naming the current snapshot, written to a VERSIONED
+  name (``_manifest-N.json``, Iceberg's own metadata layout: vN
+  metadata files, newest wins) — readers resolve the highest N, so the
+  commit point is the appearance of the new file and there is never a
+  window with no live manifest (a delete-then-rename swap of a single
+  name would have one);
 - readers resolve the manifest once, then read only their snapshot's
   files — a concurrent commit never changes data under a running scan
   (snapshot isolation);
@@ -51,15 +54,38 @@ class VersionedTable:
 
     # -- manifest -----------------------------------------------------------
 
-    def _manifest_path(self) -> str:
-        return f"{self.path}/_manifest.json"
+    def _manifest_seq(self) -> tuple:
+        """(highest manifest sequence number, its path) or (-1, None).
+
+        Also recognizes the legacy single-name ``_manifest.json`` (from
+        tables written before manifests were versioned) as sequence -1
+        with a real path, so old tables stay readable.
+        """
+        fs = _fs(self.spark, self.path)
+        root = _jpath(self.spark, self.path)
+        best, best_path = -1, None
+        if fs.exists(root):
+            for st in fs.listStatus(root):
+                name = st.getPath().getName()
+                if name.startswith("_manifest-") and name.endswith(".json"):
+                    try:
+                        seq = int(name[len("_manifest-"):-len(".json")])
+                    except ValueError:
+                        continue
+                    if seq > best:
+                        best, best_path = seq, f"{self.path}/{name}"
+        if best_path is None:
+            legacy = _jpath(self.spark, f"{self.path}/_manifest.json")
+            if fs.exists(legacy):
+                return -1, f"{self.path}/_manifest.json"
+        return best, best_path
 
     def _read_manifest(self) -> dict:
-        fs = _fs(self.spark, self.path)
-        mp = _jpath(self.spark, self._manifest_path())
-        if not fs.exists(mp):
+        _, mp = self._manifest_seq()
+        if mp is None:
             return {"current": None, "snapshots": []}
-        stream = fs.open(mp)
+        fs = _fs(self.spark, self.path)
+        stream = fs.open(_jpath(self.spark, mp))
         try:
             data = bytes(stream.readAllBytes())  # Java 9+ InputStream API
         finally:
@@ -67,19 +93,31 @@ class VersionedTable:
         return json.loads(data.decode("utf-8"))
 
     def _commit(self, manifest: dict) -> None:
-        """Atomic manifest swap: write to a temp name, rename over the
-        live pointer (rename is atomic on HDFS/posix; on object stores
-        the real table format's catalog swap plays this role)."""
+        """Crash-safe manifest commit: write ``_manifest-{seq+1}.json``
+        (readers resolve the highest sequence, so the new state becomes
+        visible exactly when the file appears — no window without a live
+        manifest), then best-effort delete older manifests. A crash
+        between the write and the cleanup leaves extra files that the
+        newest-wins read resolves correctly."""
         fs = _fs(self.spark, self.path)
-        tmp = _jpath(self.spark, f"{self.path}/_manifest.json.tmp")
+        seq, _ = self._manifest_seq()
+        new_path = f"{self.path}/_manifest-{seq + 1}.json"
+        tmp = _jpath(self.spark, new_path + ".tmp")
         out = fs.create(tmp, True)
         out.write(bytearray(json.dumps(manifest, indent=1), "utf-8"))
         out.close()
-        live = _jpath(self.spark, self._manifest_path())
-        if fs.exists(live):
-            fs.delete(live, False)
-        if not fs.rename(tmp, live):
+        # rename is atomic on HDFS/posix: never expose a half-written file
+        if not fs.rename(tmp, _jpath(self.spark, new_path)):
             raise IOError(f"manifest commit failed for {self.path}")
+        for st in fs.listStatus(_jpath(self.spark, self.path)):
+            name = st.getPath().getName()
+            old = name == "_manifest.json" or (
+                name.startswith("_manifest-")
+                and name.endswith(".json")
+                and name != f"_manifest-{seq + 1}.json"
+            )
+            if old:
+                fs.delete(st.getPath(), False)
 
     # -- public API ---------------------------------------------------------
 

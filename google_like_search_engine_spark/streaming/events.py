@@ -174,17 +174,22 @@ def stream_dedup(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming exact deduplication: keep the first arrival per key
-    within the watermark horizon (``dropDuplicates`` over a watermarked
-    stream — Spark bounds the dedup state by the watermark instead of
-    remembering every key forever, which is what makes this run
-    indefinitely at ingest scale). ``key_cols`` defaults to a content
-    hash of the ``text`` column — the streaming twin of
+    within the watermark horizon, via ``dropDuplicatesWithinWatermark``
+    — the operator whose state Spark actually evicts once the watermark
+    passes a key's event time. (Plain ``dropDuplicates`` only bounds
+    state when the event-time column is PART of the dedup key; with a
+    content-hash key the watermark is inert and state grows with every
+    distinct document ever seen — correct output, unbounded memory at
+    ingest scale.) ``key_cols`` defaults to a content hash of the
+    ``text`` column — the streaming twin of
     analytics/dedup.exact_duplicates: a re-crawled byte-identical page
-    never re-enters the downstream index build."""
+    within the horizon never re-enters the downstream index build."""
     keyed = docs
     if key_cols is None:
         keyed = docs.withColumn(
             "content_hash", F.md5(F.encode(F.col("text"), "utf-8"))
         )
         key_cols = ["content_hash"]
-    return keyed.withWatermark(ts_col, watermark).dropDuplicates(key_cols)
+    return keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

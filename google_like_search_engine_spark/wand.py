@@ -356,8 +356,11 @@ def blocked_maxscore_threshold(
     any engine. The oracle is plain relational BM25 + HAVING.
 
     The same pruning as blocked_maxscore_topk's big-query path runs,
-    with theta := threshold - 1e-6 (the slack absorbs the <=1-ulp
-    driver-math vs JVM log discrepancy; every pruning step is exact):
+    with theta := threshold - 0.5*10^-round_to - 1e-9: the final filter
+    compares round(score, round_to) >= threshold, so any doc with true
+    score >= threshold - 0.5*10^-round_to can round up into the result
+    set and must survive pruning; the extra 1e-9 absorbs the <=1-ulp
+    driver-math vs JVM log discrepancy (every pruning step is exact):
     1. non-essential terms: ub-sorted prefix with cumsum < theta —
        docs appearing only there are provably below the threshold;
     2. TRUE block-max: blocks whose metadata ub < theta are dropped
@@ -373,7 +376,7 @@ def blocked_maxscore_threshold(
     if not words:
         return empty
     n = float(total_documents)
-    theta = threshold - 1e-6
+    theta = threshold - 0.5 * 10.0 ** (-round_to) - 1e-9
 
     if doc_stats_agg is not None:
         avgdl, min_dl = float(doc_stats_agg[0]), float(doc_stats_agg[1])

@@ -40,10 +40,13 @@ def main():
 
     spark = get_spark("serve")
     eng = SearchEngine(spark)
-    manifest = os.path.join(
-        args.index.removeprefix("file://"), "_manifest.json"
-    )
-    if os.path.exists(manifest):
+    import glob as _glob
+
+    root = args.index.removeprefix("file://")
+    has_manifest = os.path.exists(
+        os.path.join(root, "_manifest.json")  # legacy single-name layout
+    ) or _glob.glob(os.path.join(root, "_manifest-*.json"))
+    if has_manifest:
         from google_like_search_engine_spark.sources.versioned import (
             VersionedTable,
         )
