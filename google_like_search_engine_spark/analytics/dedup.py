@@ -378,3 +378,109 @@ def embedding_near_pairs(
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, component_id) for every id appearing in ``pairs``, where
+    component_id is the SMALLEST id reachable through the pair graph —
+    the canonical representative of the duplicate cluster.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round a node adopts the minimum of its own label and its
+    neighbors'. A round is one join + one min-aggregation (two
+    shuffles over the edge relation); the loop converges in at most
+    graph-diameter rounds. Near-dup graphs are near-cliques after
+    verification (every member pairs with most others), so the
+    diameter — and the round count — is small (2-3) regardless of
+    corpus size; the 100 TB cost is O(diameter) scans of the edge
+    list, all shuffle-partitioned on id. Labels are localCheckpointed
+    per round so the plan never accumulates lineage (the same
+    iterative-loop discipline as pagerank.py). For adversarial
+    long-chain graphs the large-star/small-star alternation (Kiveris
+    et al., "Connected Components in MapReduce") converges in
+    O(log^2 n) rounds; dedup graphs never need it, so the simpler
+    exact-min propagation is used here and ``max_iters`` guards the
+    pathological case with a hard error rather than a silent partial
+    labeling.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("component_id").alias("neigh_min"))
+        )
+        upd = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                "component_id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce("neigh_min", "component_id"),
+                ).alias("new_label"),
+            )
+            .persist()
+        )
+        n_changed = upd.where(F.col("new_label") < F.col("component_id")).count()
+        labels = upd.select(
+            "id", F.col("new_label").alias("component_id")
+        ).localCheckpoint(eager=True)
+        upd.unpersist()
+        if n_changed == 0:
+            edges.unpersist()
+            return labels
+    edges.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds the bound; raise max_iters or use "
+        "star-contraction for adversarial chain graphs)"
+    )
+
+
+def dedup_keep_list(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """The cluster-resolution step every pairwise dedup needs before it
+    can actually DROP documents: near-dup pairs say "these two match",
+    but a training-data pipeline must pick one survivor per transitive
+    cluster (a~b, b~c => keep one of {a,b,c}, not two). Returns one row
+    per id in ``ids``: (id, component_id, keep) — keep is true exactly
+    for the minimum id of each connected component, and for every
+    singleton that appears in no pair (the canonical-member-wins rule,
+    deterministic across runs and cluster sizes). Completes the
+    reference's content-seen dedup (Crawler.java:497-510) into a
+    corpus-wide operator."""
+    comp = connected_components(pairs, a_col, b_col, max_iters)
+    return (
+        ids.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component_id", "id").alias("component_id"),
+        )
+        .withColumn("keep", F.col("id") == F.col("component_id"))
+    )

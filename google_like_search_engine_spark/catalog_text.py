@@ -1051,3 +1051,127 @@ SELECT d.lang, f.pred_en, count(*) AS n,
 FROM feats f JOIN documents d ON d.doc_id = f.doc_id
 GROUP BY d.lang, f.pred_en
 """
+
+
+# --------------------------------------------------------------------------
+# Dedup cluster resolution (pairs -> connected components -> keep list)
+# --------------------------------------------------------------------------
+
+def dedup_keep_list(spark, sf_dir):
+    """Pairwise near-dup results resolved into an actionable keep/drop
+    list: MinHash+LSH verified pairs (the same relation as
+    minhash_verified_pairs) -> connected components by min-label
+    propagation (analytics/dedup.connected_components) -> one row per
+    document with its cluster's canonical id and whether it survives.
+    The oracle recomputes the pair relation in SQL and closes it
+    transitively with WITH RECURSIVE — the iterative Spark loop and the
+    recursive CTE must agree exactly."""
+    from .analytics.dedup import dedup_keep_list as _dkl, minhash_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    pairs = minhash_dedup(docs, jaccard_threshold=0.5)
+    out = _dkl(docs.select("id"), pairs)
+    return out.select(
+        F.col("id").alias("doc_id"), "component_id", "keep"
+    )
+
+
+DEDUP_KEEP_LIST_SQL = f"""
+WITH RECURSIVE pairs AS (
+{MINHASH_VERIFIED_PAIRS_SQL}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+)
+SELECT id AS doc_id, min(lbl) AS component_id, (id = min(lbl)) AS keep
+FROM reach GROUP BY id
+"""
+
+
+# --------------------------------------------------------------------------
+# Partial-duplicate pairs (winnowing fingerprints), SQL-mirrored
+# --------------------------------------------------------------------------
+
+_KR_B, _KR_M = 131, (1 << 61) - 1
+_KR_WINDOW, _KR_KEEP, _KR_MIN_SHARED = 32, 8, 2
+
+
+def partial_dup_pairs(spark, sf_dir):
+    """Partial-dup doc pairs sharing >= 2 winnowing fingerprints
+    (analytics/text.partial_dup_pairs: Karp-Rabin rolling hash over
+    32-char windows, keep the 8 smallest per doc, boilerplate
+    fingerprints in > 128 docs excluded). The oracle replays the exact
+    polynomial-hash arithmetic in SQL — per-window sums of
+    ord(char) * B^(31-j) mod (2^61 - 1) in HUGEINT — so the Arrow UDF's
+    rolling recurrence is checked value-for-value, not just shape."""
+    from .analytics.text import partial_dup_pairs as _pdp
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    out = _pdp(docs, window=_KR_WINDOW, keep=_KR_KEEP, min_shared=_KR_MIN_SHARED)
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+    )
+
+
+PARTIAL_DUP_PAIRS_SQL = f"""
+WITH powers(j, p) AS (
+  VALUES {", ".join(f"({j}, {pow(_KR_B, _KR_WINDOW - 1 - j, _KR_M)})" for j in range(_KR_WINDOW))}
+),
+lens AS (SELECT doc_id, length(text) AS len FROM documents),
+chars AS (
+  SELECT doc_id, i, ord(substr(text, i, 1)) AS c
+  FROM documents CROSS JOIN unnest(generate_series(1, length(text))) AS g(i)
+),
+long_h AS (
+  SELECT s.doc_id,
+         CAST(sum(CAST(ch.c AS HUGEINT) * pw.p) % {_KR_M} AS BIGINT) AS h
+  FROM (
+    SELECT c2.doc_id, c2.i AS start
+    FROM chars c2 JOIN lens l ON l.doc_id = c2.doc_id
+    WHERE l.len >= {_KR_WINDOW} AND c2.i <= l.len - {_KR_WINDOW - 1}
+  ) s
+  JOIN chars ch ON ch.doc_id = s.doc_id
+             AND ch.i BETWEEN s.start AND s.start + {_KR_WINDOW - 1}
+  JOIN powers pw ON pw.j = ch.i - s.start
+  GROUP BY s.doc_id, s.start
+),
+short_h AS (
+  SELECT ch.doc_id,
+         CAST(sum(CAST(ch.c AS HUGEINT) * pw.p) % {_KR_M} AS BIGINT) AS h
+  FROM chars ch
+  JOIN lens l ON l.doc_id = ch.doc_id
+  JOIN powers pw ON pw.j = {_KR_WINDOW - 1} - (l.len - ch.i)
+  WHERE l.len BETWEEN 1 AND {_KR_WINDOW - 1}
+  GROUP BY ch.doc_id
+),
+empty_h AS (SELECT doc_id, 0 AS h FROM lens WHERE len = 0),
+allh AS (
+  SELECT * FROM long_h UNION ALL SELECT * FROM short_h UNION ALL SELECT * FROM empty_h
+),
+top_k AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, h,
+           row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+    FROM allh
+  ) WHERE rn <= {_KR_KEEP}
+),
+rare AS (SELECT h FROM top_k GROUP BY h HAVING count(*) <= 128),
+tf AS (SELECT t.doc_id, t.h FROM top_k t JOIN rare r ON r.h = t.h)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {_KR_MIN_SHARED}
+"""

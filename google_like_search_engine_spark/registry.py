@@ -34,7 +34,14 @@ QUERIES = {
     "dedup_minhash": (t.dedup_minhash, t.DEDUP_MINHASH_SQL),
     "minhash_verified_pairs": (t.minhash_verified_pairs, t.MINHASH_VERIFIED_PAIRS_SQL),
     "simhash_pairs": (t.simhash_pairs, t.SIMHASH_PAIRS_SQL),
-    "ngram_jaccard": (t.ngram_jaccard, t.NGRAM_JACCARD_SQL),
+    # LLM-training-pipeline dedup/quality operators promoted into the
+    # gate in round 5 (ngram_jaccard + four flame-tail rows demoted to
+    # EXTRA_ORACLE_QUERIES to fit; all stay parity-tested there)
+    "dedup_keep_list": (t.dedup_keep_list, t.DEDUP_KEEP_LIST_SQL),
+    "partial_dup_pairs": (t.partial_dup_pairs, t.PARTIAL_DUP_PAIRS_SQL),
+    "quality_filter": (t.quality_filter, t.QUALITY_FILTER_SQL),
+    "embedding_near_dup": (t.embedding_near_dup, t.EMBEDDING_NEAR_DUP_SQL),
+    "lang_id_accuracy": (t.lang_id_accuracy, t.LANG_ID_ACCURACY_SQL),
     # text analysis
     "quality_scores": (t.quality_scores, t.QUALITY_SCORES_SQL),
     "lang_id": (t.lang_id, t.LANG_ID_SQL),
@@ -67,19 +74,17 @@ QUERIES = {
     "pivot_status": (c.pivot_status, c.PIVOT_STATUS_SQL),
     "window_top_order": (c.window_top_order, c.WINDOW_TOP_ORDER_SQL),
     "join_semi_anti": (c.join_semi_anti, c.JOIN_SEMI_ANTI_SQL),
-    # Flame operator inventory (SURVEY.md section 2.1; count and take
-    # live in EXTRA_ORACLE_QUERIES — demoted from the 50-entry gate to
-    # make room for the round-4 composite entries, still parity-tested)
-    "flame_distinct": (c.flame_distinct, c.FLAME_DISTINCT_SQL),
+    # Flame operator inventory (SURVEY.md section 2.1). Rounds 4-5
+    # demoted the redundant tail (count/take, then distinct/fold_sum/
+    # sample/groupby/intersection/flatmaptopair) to EXTRA_ORACLE_QUERIES
+    # — still parity-tested — keeping the four distinctive-semantics ops
+    # (filter, foldByKey, the vA,vB cross-product join, full-outer
+    # cogroup) in the gate alongside wordcount (flatMap) and token_stats
+    # (mapPartitions).
     "flame_filter": (c.flame_filter, c.FLAME_FILTER_SQL),
-    "flame_fold_sum": (c.flame_fold_sum, c.FLAME_FOLD_SUM_SQL),
     "flame_foldbykey": (c.flame_foldbykey, c.FLAME_FOLDBYKEY_SQL),
-    "flame_sample": (c.flame_sample, c.FLAME_SAMPLE_SQL),
-    "flame_groupby": (c.flame_groupby, c.FLAME_GROUPBY_SQL),
-    "flame_intersection": (c.flame_intersection, c.FLAME_INTERSECTION_SQL),
     "flame_join": (c.flame_join, c.FLAME_JOIN_SQL),
     "flame_cogroup": (c.flame_cogroup, c.FLAME_COGROUP_SQL),
-    "flame_flatmaptopair": (c.flame_flatmaptopair, c.FLAME_FLATMAPTOPAIR_SQL),
 }
 
 
@@ -229,6 +234,103 @@ def _merge_pages_composite(spark, sf_dir):
 MERGE_PAGES_SQL = STREAMING_COMPACTION_SQL
 
 QUERIES["merge_pages_composite"] = (_merge_pages_composite, MERGE_PAGES_SQL)
+
+
+def _versioned_time_travel(spark, sf_dir):
+    """Composite snapshot-isolation proof for the versioned-table layer
+    (sources/versioned.py, the Iceberg stand-in): commit snapshot v0
+    over a partial corpus, MERGE INTO a delta whose rows are
+    deliberately corrupted (n_chars = -1) producing v1, then time-travel
+    read v0. The oracle is the initial relation's SQL — any leakage of
+    v1 rows into the v0 read poisons the value hash via the -1s, so the
+    green row proves isolation, not just that reads work."""
+    import os
+    import shutil
+
+    from .sources.versioned import VersionedTable
+
+    base = f"/tmp/spark_graft_versioned_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    rel = c.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.encode(F.col("text"), "utf-8")).alias("content_hash"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    vt = VersionedTable(spark, base)
+    v0 = vt.write_snapshot(rel.where(F.col("doc_id") % 7 != 0))
+    delta = rel.where(
+        (F.col("doc_id") % 7 == 0) | (F.col("doc_id") % 5 == 0)
+    ).withColumn("n_chars", F.lit(-1).cast("long"))
+    v1 = vt.merge_into(delta, "doc_id")
+    if v1 == v0:
+        raise RuntimeError("merge_into did not produce a new snapshot")
+    return vt.read(version=v0)
+
+
+VERSIONED_TIME_TRAVEL_SQL = """
+SELECT doc_id, md5(text) AS content_hash,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 7 != 0
+"""
+
+QUERIES["versioned_time_travel"] = (
+    _versioned_time_travel,
+    VERSIONED_TIME_TRAVEL_SQL,
+)
+
+
+def _stream_dedup_gate(spark, sf_dir):
+    """Streaming exact-dedup in the gate: the corpus streams in twice
+    (a full byte-identical re-crawl in a SECOND availableNow drain, so
+    the dedup state must survive a checkpoint restart), and
+    stream_dedup's dropDuplicatesWithinWatermark must emit each
+    distinct content exactly once. The output projects only columns
+    functionally dependent on the dedup key (content hash + length),
+    so whichever copy wins is value-identical — deterministic under
+    any parallelism. Oracle: DISTINCT over the batch table."""
+    import os
+    import shutil
+
+    from .streaming.events import stream_dedup
+
+    base = f"/tmp/spark_graft_sdedup_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    docs = c.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.to_timestamp(F.lit("2026-01-01 12:00:00")).alias("ts"),
+        "text",
+    )
+    schema = "doc_id long, ts timestamp, text string"
+
+    def drain():
+        src = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            stream_dedup(src)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    docs.write.mode("append").parquet(in_dir)
+    drain()
+    docs.write.mode("append").parquet(in_dir)  # byte-identical re-crawl
+    drain()
+    return spark.read.parquet(out_dir).select(
+        "content_hash", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT md5(text) AS content_hash,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+QUERIES["stream_dedup"] = (_stream_dedup_gate, STREAM_DEDUP_SQL)
 
 
 def _pagerank_docs(spark, sf_dir):
@@ -482,22 +584,24 @@ EXTRA_ORACLE_QUERIES["bm25_filtered_search"] = (
     t.bm25_filtered_search,
     t.BM25_FILTERED_SEARCH_SQL,
 )
-EXTRA_ORACLE_QUERIES["embedding_near_dup"] = (
-    t.embedding_near_dup,
-    t.EMBEDDING_NEAR_DUP_SQL,
-)
-EXTRA_ORACLE_QUERIES["quality_filter"] = (
-    t.quality_filter,
-    t.QUALITY_FILTER_SQL,
-)
-EXTRA_ORACLE_QUERIES["lang_id_accuracy"] = (
-    t.lang_id_accuracy,
-    t.LANG_ID_ACCURACY_SQL,
-)
-# flame count/take: demoted from the 50-entry gate (round 4) to make
-# room for merge_pages_composite + bpe_merge_encode; parity-tested here
+# demoted from the 50-entry gate across rounds 4-5 to admit the
+# composite + LLM-pipeline entries; parity-tested here exactly like
+# the gate (tests/test_oracle_parity.py)
+EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
+EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
+EXTRA_ORACLE_QUERIES["flame_fold_sum"] = (c.flame_fold_sum, c.FLAME_FOLD_SUM_SQL)
+EXTRA_ORACLE_QUERIES["flame_sample"] = (c.flame_sample, c.FLAME_SAMPLE_SQL)
+EXTRA_ORACLE_QUERIES["flame_groupby"] = (c.flame_groupby, c.FLAME_GROUPBY_SQL)
+EXTRA_ORACLE_QUERIES["flame_intersection"] = (
+    c.flame_intersection,
+    c.FLAME_INTERSECTION_SQL,
+)
+EXTRA_ORACLE_QUERIES["flame_flatmaptopair"] = (
+    c.flame_flatmaptopair,
+    c.FLAME_FLATMAPTOPAIR_SQL,
+)
 
 # The exact driver-gate surface and order: 45 oracle + 5 rows-only = 50.
 # Headline text/search/dedup/analytics entries and every rows-only entry
@@ -518,7 +622,6 @@ QUERY_ORDER = [
     "dedup_minhash",
     "minhash_verified_pairs",
     "simhash_pairs",
-    "ngram_jaccard",
     "quality_scores",
     "lang_id",
     "fingerprints",
@@ -528,6 +631,14 @@ QUERY_ORDER = [
     "streaming_compaction",
     "bm25_maxscore_threshold",
     "merge_pages_composite",
+    # round-5 promotions: LLM-pipeline dedup/quality + composites
+    "dedup_keep_list",
+    "partial_dup_pairs",
+    "quality_filter",
+    "embedding_near_dup",
+    "lang_id_accuracy",
+    "versioned_time_travel",
+    "stream_dedup",
     # rows-only (iterative / non-SQL-expressible)
     "bpe_merge_encode",
     "multimodal_image_features",
@@ -549,17 +660,12 @@ QUERY_ORDER = [
     "pivot_status",
     "window_top_order",
     "join_semi_anti",
-    # Flame operator inventory tail
-    "flame_distinct",
+    # Flame operator inventory tail (distinctive-semantics ops only;
+    # the rest are parity-tested in EXTRA_ORACLE_QUERIES)
     "flame_filter",
-    "flame_fold_sum",
     "flame_foldbykey",
-    "flame_sample",
-    "flame_groupby",
-    "flame_intersection",
     "flame_join",
     "flame_cogroup",
-    "flame_flatmaptopair",
 ]
 assert len(QUERY_ORDER) == 50, f"driver gate must hold exactly 50, got {len(QUERY_ORDER)}"
 _missing = [

@@ -965,3 +965,53 @@ def test_animated_gif_frames_and_sampling(spark):
     )
     feats = image_features(frame_assets, fake=False).collect()
     assert len(feats) == 3 and all(r["width"] == w for r in feats)
+
+
+def test_connected_components_min_label(spark):
+    """Chain (1-2-3), pair (10,40 via 40>10 reversed input), isolated
+    edge loops, and convergence: every node gets the minimum id of its
+    component, in <= diameter rounds."""
+    from google_like_search_engine_spark.analytics.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (40, 10), (7, 8), (8, 9), (9, 11), (11, 7)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 40: 10, 7: 7, 8: 7, 9: 7, 11: 7}
+
+
+def test_connected_components_raises_past_max_iters(spark):
+    from google_like_search_engine_spark.analytics.dedup import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=3)
+
+
+def test_dedup_keep_list_keeps_one_per_cluster(spark):
+    """keep is true exactly for each component's min id and for
+    singletons absent from the pair graph."""
+    from google_like_search_engine_spark.analytics.dedup import (
+        dedup_keep_list,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "id long")
+    pairs = spark.createDataFrame(
+        [(2, 5), (5, 6), (3, 7)], "id_a long, id_b long"
+    )
+    rows = {r["id"]: r for r in dedup_keep_list(ids, pairs).collect()}
+    assert len(rows) == 7
+    assert [rows[i]["component_id"] for i in range(1, 8)] == [1, 2, 3, 4, 2, 2, 3]
+    assert [rows[i]["keep"] for i in range(1, 8)] == [
+        True, True, True, True, False, False, False,
+    ]
