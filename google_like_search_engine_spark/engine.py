@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -330,6 +331,7 @@ class SearchEngine:
             entry = cache.pop(key, None)
             if entry is not None:
                 entry[1].unpersist()
+            getattr(self, "_blocked_url_dicts", {}).pop(key, None)
 
     def _blocked_handles(self, index_path: str):
         """Per-path blocked-index handles, opened once: the blocks scan
@@ -468,6 +470,31 @@ class SearchEngine:
             blocks = blocks.where(F.col("term_bucket").isin(ids))
         return blocks, dsi, total, stats, term_stats
 
+    URL_DICT_CAP = 250_000  # max forward-index entries held driver-side
+
+    def _blocked_url_dict(self, index_path: str) -> dict | None:
+        """Driver-side {doc_index: url} forward index for a blocked
+        layout, built once per path from the cached doc-stats dimension
+        when the corpus fits URL_DICT_CAP. This is the sandbox stand-in
+        for the reference's post-ranking KVS doc-store lookup
+        (Ranker.java resolves urls per ranked doc id): resolving the k
+        winners' urls driver-side saves the broadcast-exchange +
+        lookup-join jobs on the latency path. Beyond the cap the
+        distributed join path runs unchanged."""
+        dicts = getattr(self, "_blocked_url_dicts", None)
+        if dicts is None:
+            dicts = self._blocked_url_dicts = {}
+        if index_path not in dicts:
+            _b, dsi, total, _s, _t = self._blocked_handles(index_path)
+            if total is not None and total <= self.URL_DICT_CAP:
+                dicts[index_path] = {
+                    r["doc_index"]: r["url"]
+                    for r in dsi.select("doc_index", "url").collect()
+                }
+            else:
+                dicts[index_path] = None
+        return dicts[index_path]
+
     def search_bm25_blocked(self, index_path: str, query: str, k: int = 10) -> DataFrame:
         """BM25 top-k straight off the on-disk blocked index: the term
         filter prunes term_bucket partitions before any decode."""
@@ -480,6 +507,7 @@ class SearchEngine:
         return blocked_maxscore_topk(
             self.spark, query, blocks.drop("term_bucket"), doc_stats_idx, total,
             k=k, doc_stats_agg=stats, term_stats=term_stats,
+            url_lookup=self._blocked_url_dict(index_path),
         )
 
     def search_bm25_threshold_blocked(
@@ -775,6 +803,19 @@ class SearchEngine:
             .limit(k)
         )
 
+    def low_latency(self):
+        """Conf scope for interactive serving queries: disables AQE
+        while the block is active (and restores the previous setting
+        after). AQE re-optimizes at every shuffle boundary, which turns
+        a one-shuffle top-k into multiple driver-scheduled jobs — right
+        for a 100 TB batch plan, pure overhead for a sub-second query
+        over a pruned candidate set (results are identical; AQE only
+        changes plans). The toggle is session-scoped, so don't run
+        batch builds concurrently inside the block — a production
+        deployment gives the serving path its own SparkSession (conf is
+        per-session, the SparkContext is shared) instead."""
+        return low_latency(self.spark, shuffle_partitions=8)
+
     def unpersist(self) -> None:
         for df in (
             self.postings,
@@ -786,3 +827,27 @@ class SearchEngine:
             if df is not None:
                 df.unpersist()
         self._invalidate_blocked_cache()
+
+
+@contextmanager
+def low_latency(spark: SparkSession, shuffle_partitions: int | None = None):
+    """See SearchEngine.low_latency — usable standalone around any
+    interactive query's action. ``shuffle_partitions`` optionally
+    right-sizes the reduce side for sub-second queries (a pruned
+    candidate aggregation does not need the batch-build's partition
+    count; without AQE coalescing, every empty reduce task is a
+    scheduled no-op on the latency path)."""
+    overrides = {"spark.sql.adaptive.enabled": "false"}
+    if shuffle_partitions is not None:
+        overrides["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -129,124 +129,131 @@ def make_server(
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                if u.path == "/":
-                    body = ENTRY_PAGE.encode("utf-8")
-                    self.send_response(200)
-                    self.send_header("Content-Type", "text/html; charset=utf-8")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                elif u.path == "/health":
-                    self._json(200, {"ok": True, "documents": engine.total_documents})
-                elif u.path == "/search":
-                    query = q.get("query", "")
-                    if not query:
-                        self._json(400, {"error": "missing ?query="})
-                        return
-                    k = self._k(q)
-                    if k is None:
-                        self._json(400, {"error": "?k= must be an integer"})
-                        return
-                    required = [t for t in q.get("required", "").split(",") if t]
-                    excluded = [t for t in q.get("excluded", "").split(",") if t]
-                    if q.get("scorer") == "tfidf":
-                        if required or excluded:
-                            self._json(
-                                400,
-                                {"error": "required/excluded need the bm25 scorer"},
-                            )
-                            return
-                        res = engine.search(query, k=k)
-                    elif getattr(engine, "_served", None) is not None:
-                        res = engine.search_bm25_served(
-                            query, k=k, required=required, excluded=excluded
-                        )
-                    elif required or excluded:
-                        self._json(
-                            400,
-                            {"error": "required/excluded need the serving path"},
-                        )
-                        return
-                    else:
-                        res = engine.search_bm25(query, k=k)
-                    rows = [
-                        {"url": r["url"], "score": float(r["score"])}
-                        for r in res.collect()
-                    ]
-                    self._json(200, {"query": query, "results": rows})
-                elif u.path == "/autocomplete":
-                    prefix = q.get("prefix", "")
-                    if not prefix:
-                        self._json(400, {"error": "missing ?prefix="})
-                        return
-                    k = self._k(q)
-                    if k is None:
-                        self._json(400, {"error": "?k= must be an integer"})
-                        return
-                    rows = [
-                        {"term": r["term"], "df": int(r["df"])}
-                        for r in engine.autocomplete(prefix, k=k).collect()
-                    ]
-                    self._json(200, {"prefix": prefix, "completions": rows})
-                elif u.path == "/stats" and blocked_path:
-                    self._json(200, engine.index_stats(blocked_path))
-                elif u.path == "/phrase" and blocked_path:
-                    query = q.get("query", "")
-                    k = self._k(q)
-                    if not query or k is None:
-                        self._json(400, {"error": "need ?query= and integer ?k="})
-                        return
-                    rows = [
-                        {"url": r["url"], "n_occurrences": int(r["n_occurrences"])}
-                        for r in engine.search_phrase_blocked(
-                            blocked_path, query, k=k
-                        ).collect()
-                    ]
-                    self._json(200, {"query": query, "results": rows})
-                elif u.path == "/threshold" and blocked_path:
-                    query = q.get("query", "")
-                    try:
-                        threshold = float(q.get("threshold", ""))
-                    except ValueError:
-                        threshold = None
-                    if not query or threshold is None:
-                        self._json(
-                            400, {"error": "need ?query= and float ?threshold="}
-                        )
-                        return
-                    rows = [
-                        {"url": r["url"], "score": float(r["score"])}
-                        for r in engine.search_bm25_threshold_blocked(
-                            blocked_path, query, threshold=threshold
-                        ).collect()
-                    ]
-                    self._json(
-                        200,
-                        {"query": query, "threshold": threshold, "results": rows},
-                    )
-                elif u.path == "/proximity" and blocked_path:
-                    terms = [t for t in q.get("terms", "").split(",") if t]
-                    k = self._k(q)
-                    try:
-                        window = int(q.get("window", "5"))
-                    except ValueError:
-                        window = None
-                    if not terms or k is None or window is None or window < 0:
-                        self._json(
-                            400,
-                            {"error": "need ?terms=a,b integer ?k= and ?window>=0"},
-                        )
-                        return
-                    rows = [
-                        {"url": r["url"], "n_matches": int(r["n_matches"])}
-                        for r in engine.search_proximity_blocked(
-                            blocked_path, terms, window=window, k=k
-                        ).collect()
-                    ]
-                    self._json(200, {"terms": terms, "window": window, "results": rows})
-                else:
-                    self._json(404, {"error": f"no route {u.path}"})
+                # every route is an interactive query: run it under the
+                # serving conf scope (AQE off, right-sized reduces) —
+                # plan-identical results, fewer driver-scheduled jobs
+                with engine.low_latency():
+                    self._dispatch(u, q)
             except Exception as exc:  # surface engine errors as 500 JSON
                 self._json(500, {"error": str(exc)})
+
+        def _dispatch(self, u, q):
+            if u.path == "/":
+                body = ENTRY_PAGE.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif u.path == "/health":
+                self._json(200, {"ok": True, "documents": engine.total_documents})
+            elif u.path == "/search":
+                query = q.get("query", "")
+                if not query:
+                    self._json(400, {"error": "missing ?query="})
+                    return
+                k = self._k(q)
+                if k is None:
+                    self._json(400, {"error": "?k= must be an integer"})
+                    return
+                required = [t for t in q.get("required", "").split(",") if t]
+                excluded = [t for t in q.get("excluded", "").split(",") if t]
+                if q.get("scorer") == "tfidf":
+                    if required or excluded:
+                        self._json(
+                            400,
+                            {"error": "required/excluded need the bm25 scorer"},
+                        )
+                        return
+                    res = engine.search(query, k=k)
+                elif getattr(engine, "_served", None) is not None:
+                    res = engine.search_bm25_served(
+                        query, k=k, required=required, excluded=excluded
+                    )
+                elif required or excluded:
+                    self._json(
+                        400,
+                        {"error": "required/excluded need the serving path"},
+                    )
+                    return
+                else:
+                    res = engine.search_bm25(query, k=k)
+                rows = [
+                    {"url": r["url"], "score": float(r["score"])}
+                    for r in res.collect()
+                ]
+                self._json(200, {"query": query, "results": rows})
+            elif u.path == "/autocomplete":
+                prefix = q.get("prefix", "")
+                if not prefix:
+                    self._json(400, {"error": "missing ?prefix="})
+                    return
+                k = self._k(q)
+                if k is None:
+                    self._json(400, {"error": "?k= must be an integer"})
+                    return
+                rows = [
+                    {"term": r["term"], "df": int(r["df"])}
+                    for r in engine.autocomplete(prefix, k=k).collect()
+                ]
+                self._json(200, {"prefix": prefix, "completions": rows})
+            elif u.path == "/stats" and blocked_path:
+                self._json(200, engine.index_stats(blocked_path))
+            elif u.path == "/phrase" and blocked_path:
+                query = q.get("query", "")
+                k = self._k(q)
+                if not query or k is None:
+                    self._json(400, {"error": "need ?query= and integer ?k="})
+                    return
+                rows = [
+                    {"url": r["url"], "n_occurrences": int(r["n_occurrences"])}
+                    for r in engine.search_phrase_blocked(
+                        blocked_path, query, k=k
+                    ).collect()
+                ]
+                self._json(200, {"query": query, "results": rows})
+            elif u.path == "/threshold" and blocked_path:
+                query = q.get("query", "")
+                try:
+                    threshold = float(q.get("threshold", ""))
+                except ValueError:
+                    threshold = None
+                if not query or threshold is None:
+                    self._json(
+                        400, {"error": "need ?query= and float ?threshold="}
+                    )
+                    return
+                rows = [
+                    {"url": r["url"], "score": float(r["score"])}
+                    for r in engine.search_bm25_threshold_blocked(
+                        blocked_path, query, threshold=threshold
+                    ).collect()
+                ]
+                self._json(
+                    200,
+                    {"query": query, "threshold": threshold, "results": rows},
+                )
+            elif u.path == "/proximity" and blocked_path:
+                terms = [t for t in q.get("terms", "").split(",") if t]
+                k = self._k(q)
+                try:
+                    window = int(q.get("window", "5"))
+                except ValueError:
+                    window = None
+                if not terms or k is None or window is None or window < 0:
+                    self._json(
+                        400,
+                        {"error": "need ?terms=a,b integer ?k= and ?window>=0"},
+                    )
+                    return
+                rows = [
+                    {"url": r["url"], "n_matches": int(r["n_matches"])}
+                    for r in engine.search_proximity_blocked(
+                        blocked_path, terms, window=window, k=k
+                    ).collect()
+                ]
+                self._json(200, {"terms": terms, "window": window, "results": rows})
+            else:
+                self._json(404, {"error": f"no route {u.path}"})
 
     return ThreadingHTTPServer((host, port), Handler)

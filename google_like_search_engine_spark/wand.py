@@ -41,6 +41,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .ranker import expand_query
 
 
+def _local_result_df(spark: SparkSession, rows: list) -> DataFrame:
+    """(url, score) rows already resolved driver-side -> a DataFrame
+    whose collect() is a LocalTableScan (zero Spark jobs). A plain
+    createDataFrame would round-trip the rows through parallelize and
+    cost one more scheduled job on the latency path."""
+    if not rows:
+        return spark.createDataFrame([], "url string, score double")
+
+    def esc(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "''")
+
+    vals = ", ".join(
+        f"('{esc(u)}', CAST({s!r} AS DOUBLE))" for u, s in rows
+    )
+    return spark.sql(f"SELECT url, score FROM (VALUES {vals}) AS t(url, score)")
+
+
 def _bm25_partial(k1: float, b: float, n: float, avgdl: float):
     return (
         F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
@@ -62,6 +79,7 @@ def blocked_maxscore_topk(
     doc_stats_agg: tuple | None = None,
     term_stats: dict | None = None,
     small_query_entries: int = 100_000,
+    url_lookup: dict | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over the compressed blocked index
     (compression.block_postings output) with block-level skipping.
@@ -88,6 +106,15 @@ def blocked_maxscore_topk(
     ONE job — pruning can't save more than the extra driver round-trips
     cost on a small candidate set, and the result is identical either
     way (MaxScore is exact).
+
+    ``url_lookup``: optional driver-side {doc_index: url} forward-index
+    dictionary (engine sidecar, capped — the sandbox stand-in for the
+    reference's KVS doc-store lookup after ranking). With it, the
+    small-query fast path runs as ONE Spark job: the scoring
+    aggregation collects the k (doc_index, score) winners and urls
+    resolve driver-side, instead of a broadcast-exchange job + a
+    lookup-join job against the doc-stats dimension. Result-identical
+    (doc_index is assigned in url order, so the tiebreak matches).
     """
     from .compression import scoring_entries
 
@@ -177,6 +204,12 @@ def blocked_maxscore_topk(
                 .orderBy(F.desc("score"), F.asc("doc_index"))
                 .limit(k)
             )
+            if url_lookup is not None:
+                rows = topk.collect()  # ONE job: TakeOrdered over the agg
+                return _local_result_df(
+                    spark,
+                    [(url_lookup[r["doc_index"]], float(r["score"])) for r in rows],
+                )
             # k rows: coalesce(1)+sortWithinPartitions gives the same
             # global order on collect WITHOUT a range-partitioning
             # exchange (whose sampling pass is a whole extra job)

@@ -48,6 +48,18 @@ def main():
         eng.load(args.index)
     blocked = os.path.join(args.index, "blocked")
     t0 = time.perf_counter()
+    with eng.low_latency():  # interactive query: serving conf scope
+        res, rows = _run_query(eng, args, blocked)
+    dt = (time.perf_counter() - t0) * 1000
+    val_col = next(c for c in res.columns if c != "url")
+    for r in rows:
+        v = r[val_col]
+        print(f"{v:.6f}  {r['url']}" if isinstance(v, float) else f"{v}  {r['url']}")
+    print(f"[{len(rows)} results in {dt:.0f} ms]")
+    spark.stop()
+
+
+def _run_query(eng, args, blocked):
     if args.scorer == "tfidf":
         res = eng.search(args.query, k=args.k)
     elif args.scorer == "bm25":
@@ -66,14 +78,7 @@ def main():
         res = eng.search_proximity_blocked(
             blocked, args.query.split(), window=args.window, k=args.k
         )
-    rows = res.collect()
-    dt = (time.perf_counter() - t0) * 1000
-    val_col = next(c for c in res.columns if c != "url")
-    for r in rows:
-        v = r[val_col]
-        print(f"{v:.6f}  {r['url']}" if isinstance(v, float) else f"{v}  {r['url']}")
-    print(f"[{len(rows)} results in {dt:.0f} ms]")
-    spark.stop()
+    return res, res.collect()
 
 
 if __name__ == "__main__":
