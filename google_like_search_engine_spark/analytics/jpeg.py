@@ -3,8 +3,11 @@
 Closes the last strict-mode decode gap in the multimodal column
 pipeline (analytics/multimodal.py): JFIF/baseline-DCT JPEG — the
 dominant web image format a crawler actually sees — decodes for real,
-like BMP/PPM/PNG/WAV already do. Progressive (SOF2), arithmetic-coded,
-12-bit, and hierarchical JPEGs raise NotImplementedError honestly.
+like BMP/PPM/PNG/WAV already do. PROGRESSIVE (SOF2) streams decode
+too (spectral selection + successive approximation, T.81 G.2, the
+libjpeg per-scan algorithms), and encode_jpeg_progressive writes them
+for fixtures. Arithmetic-coded, 12-bit, and hierarchical JPEGs raise
+NotImplementedError honestly.
 
 Decoder (ITU-T T.81 baseline sequential):
   SOI / APPn / COM / DQT (8-bit) / DRI / SOF0+SOF1 / DHT / SOS
@@ -344,7 +347,7 @@ def decode_jpeg(payload: bytes):
                 vals = list(seg[i + 17 : i + 17 + n])
                 htables[(tc, th)] = _decode_table(bits, vals)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0 / SOF1 (baseline huffman)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -352,18 +355,24 @@ def decode_jpeg(payload: bytes):
             for ci in range(ncomp):
                 cid, hv, tq = struct.unpack_from("BBB", seg, 6 + 3 * ci)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG (SOF marker 0xFF{marker:02X}: "
-                "progressive/arithmetic/hierarchical)"
+                "lossless/arithmetic/hierarchical)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if frame.get("progressive"):
+                return _decode_progressive(
+                    payload, pos, frame, seg, qtables, htables,
+                    restart_interval,
+                )
             ns = seg[0]
             scan_sel = {}
             for si in range(ns):
@@ -441,6 +450,251 @@ def _decode_block(reader, dct, act, q, preds, ci):
         coef[ZIGZAG[k]] = _extend(reader.bits(s), s) * q[k]
         k += 1
     return coef
+
+
+def _decode_progressive(data, pos, frame, sos_seg, qtables, htables,
+                        restart_interval):
+    """Progressive (SOF2) decode: coefficients accumulate across scans
+    — spectral-selection bands and successive-approximation bit planes
+    (T.81 G.2; the same per-scan algorithms as libjpeg's
+    decode_mcu_DC/AC_first/refine) — then one dequantize+IDCT pass
+    reconstructs the image. Inter-scan DHT/DQT/DRI segments update the
+    running tables, exactly like the sequential marker loop."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        # non-interleaved (single-component) scans cover the component's
+        # own block grid, NOT the MCU-padded one (T.81 A.2.2)
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch // 8)
+    coefs = [
+        [[0] * 64 for _ in range(c["bw"] * c["bh"])] for c in comps
+    ]
+    comp_by_id = {c["id"]: (ci, c) for ci, c in enumerate(comps)}
+
+    while True:
+        pos = _decode_prog_scan(
+            data, pos, comps, comp_by_id, coefs, sos_seg, htables,
+            restart_interval, mcux, mcuy,
+        )
+        # continue the marker loop between scans
+        sos_seg = None
+        while pos + 4 <= len(data):
+            if data[pos] != 0xFF:
+                raise ValueError(f"bad JPEG marker alignment at {pos}")
+            marker = data[pos + 1]
+            if marker == 0xD9 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                if marker == 0xD9:
+                    break
+                continue
+            (seglen,) = struct.unpack_from(">H", data, pos + 2)
+            seg = data[pos + 4 : pos + 2 + seglen]
+            pos += 2 + seglen
+            if marker == 0xC4:  # DHT between scans
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 0xF
+                    bits = list(seg[i + 1 : i + 17])
+                    n = sum(bits)
+                    htables[(tc, th)] = _decode_table(
+                        bits, list(seg[i + 17 : i + 17 + n])
+                    )
+                    i += 17 + n
+            elif marker == 0xDB:  # DQT between scans
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 0xF
+                    i += 1
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quantization tables")
+                    qtables[tq] = list(seg[i : i + 64])
+                    i += 64
+            elif marker == 0xDD:
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+            elif marker == 0xDA:
+                sos_seg = seg
+                break
+            # APPn/COM: skipped
+        if sos_seg is None:
+            break
+
+    # reconstruction: dequantize (zigzag-ordered tables) + IDCT + blit
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables[c["tq"]]
+        plane = bytearray(c["bw"] * 8 * c["bh"] * 8)
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                coef = coefs[ci][by * c["bw"] + bx]
+                deq = [0] * 64
+                for k in range(64):
+                    deq[ZIGZAG[k]] = coef[ZIGZAG[k]] * q[k]
+                _blit(plane, c["bw"] * 8, bx * 8, by * 8, _idct_block(deq))
+        planes.append(plane)
+    return _planes_to_rgb(w, h, comps, planes, hmax, vmax)
+
+
+def _decode_prog_scan(data, pos, comps, comp_by_id, coefs, sos_seg, htables,
+                      restart_interval, mcux, mcuy):
+    """One progressive scan's entropy data -> coefficient updates.
+    Returns the position of the next marker after the scan."""
+    ns = sos_seg[0]
+    sel = []  # (ci, comp, dc_table_id, ac_table_id)
+    for si in range(ns):
+        cs, tt = sos_seg[1 + 2 * si], sos_seg[2 + 2 * si]
+        ci, c = comp_by_id[cs]
+        sel.append((ci, c, tt >> 4, tt & 0xF))
+    ss, se, ahal = sos_seg[1 + 2 * ns : 4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if ss > se or se > 63:
+        raise ValueError("bad spectral selection bounds")
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixing DC and AC")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+    unit = 0  # MCUs (interleaved) or blocks (single-component scan)
+
+    def maybe_restart():
+        nonlocal preds
+        if restart_interval and unit and unit % restart_interval == 0:
+            reader.restart()
+            preds = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if ss == 0 and ns > 1:  # interleaved DC scan, MCU order
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for ci, c, dt, _at in sel:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = coefs[ci][
+                                (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                            ]
+                            _prog_dc(reader, blk, htables.get((0, dt)),
+                                     preds, ci, ah, al)
+                unit += 1
+    else:  # single-component scan over the component's own block grid
+        ci, c, dt, at = sel[0]
+        for by in range(c["nbh"]):
+            for bx in range(c["nbw"]):
+                maybe_restart()
+                blk = coefs[ci][by * c["bw"] + bx]
+                if ss == 0:
+                    _prog_dc(reader, blk, htables.get((0, dt)), preds, ci,
+                             ah, al)
+                elif ah == 0:
+                    _prog_ac_first(reader, blk, htables[(1, at)], ss, se,
+                                   al, state)
+                else:
+                    _prog_ac_refine(reader, blk, htables[(1, at)], ss, se,
+                                    al, state)
+                unit += 1
+
+    # realign: skip to the next non-RST marker
+    p = reader.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return p
+
+
+def _prog_dc(reader, blk, dct, preds, ci, ah, al):
+    if ah == 0:  # first DC scan: huffman diffs in the shifted domain
+        if dct is None:
+            raise ValueError("missing DC Huffman table for scan")
+        t = _decode_huff(reader, dct)
+        preds[ci] += _extend(reader.bits(t), t) if t else 0
+        blk[0] = preds[ci] << al
+    else:  # refinement: one bit per block (two's-complement OR, G.2.1)
+        if reader.bit():
+            blk[0] |= 1 << al
+
+
+def _prog_ac_first(reader, blk, act, ss, se, al, state):
+    """First AC scan of a band: EOB-run coded coefficients << al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _decode_huff(reader, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        blk[ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _prog_ac_refine(reader, blk, act, ss, se, al, state):
+    """AC successive-approximation refinement (libjpeg
+    decode_mcu_AC_refine): correction bits for already-nonzero
+    coefficients, newly-visible +-1<<al coefficients, EOB runs."""
+    p1, m1 = 1 << al, -1 << al
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _decode_huff(reader, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    # full run here (not run-1 as in the first-scan
+                    # case): the CURRENT block still consumes
+                    # correction bits below, then decrements
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan coefficient size != 1")
+                s = p1 if reader.bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if blk[z] != 0:
+                    if reader.bit() and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                blk[ZIGZAG[k]] = s
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if blk[z] != 0:
+                if reader.bit() and (blk[z] & p1) == 0:
+                    blk[z] += p1 if blk[z] >= 0 else m1
+            k += 1
+        state["eobrun"] -= 1
 
 
 def _blit(plane, stride, x0, y0, block):
@@ -667,5 +921,215 @@ def encode_jpeg(width, height, pixel_fn, quant: int = 1, subsample: bool = False
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
     out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(width, height, pixel_fn, quant: int = 1,
+                            subsample: bool = False):
+    """Deterministic PROGRESSIVE (SOF2) JPEG writer: spectral selection
+    (DC scan, AC bands 1-5 and 6-63) plus one successive-approximation
+    level (first scans send coefficients >> 1, refinement scans send
+    the low bit — the libjpeg encode_mcu_*_first/refine algorithms).
+    Same quantized coefficients as encode_jpeg, only the entropy-coding
+    order differs, so decode_jpeg(progressive) == decode_jpeg(baseline)
+    EXACTLY, pixel for pixel — which is what the tests assert. Huffman
+    tables are computed optimally per scan and re-defined via DHT
+    between scans."""
+    comps, hmax, vmax = _component_planes(width, height, pixel_fn, subsample)
+    q = [max(1, min(int(quant), 255))] * 64
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    grids, dims = [], []
+    for plane, hc, vc in comps:
+        bw, bh = mcux * hc, mcuy * vc
+        zzs = []
+        for blk in _blocks_of(plane, bw, bh):
+            coefs = _fdct_block(blk)
+            zzs.append([int(round(coefs[ZIGZAG[k]] / q[k])) for k in range(64)])
+        cw, ch = -(-(width * hc) // hmax), -(-(height * vc) // vmax)
+        dims.append({"bw": bw, "bh": bh, "h": hc, "v": vc,
+                     "nbw": -(-cw // 8), "nbh": -(-ch // 8)})
+        grids.append(zzs)
+
+    AL = 1  # one successive-approximation level
+
+    def dc_first_body(sym, bits):
+        preds = [0] * len(comps)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, d in enumerate(dims):
+                    for by in range(d["v"]):
+                        for bx in range(d["h"]):
+                            zz = grids[ci][
+                                (my * d["v"] + by) * d["bw"] + mx * d["h"] + bx
+                            ]
+                            v = zz[0] >> AL  # arithmetic shift (G.1.2.1)
+                            diff = v - preds[ci]
+                            preds[ci] = v
+                            t = _category(diff)
+                            sym(t)
+                            if t:
+                                bits(diff if diff > 0 else diff + (1 << t) - 1, t)
+
+    def dc_refine_body(sym, bits):
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, d in enumerate(dims):
+                    for by in range(d["v"]):
+                        for bx in range(d["h"]):
+                            zz = grids[ci][
+                                (my * d["v"] + by) * d["bw"] + mx * d["h"] + bx
+                            ]
+                            bits(zz[0] & 1, 1)  # bit Al=0 of the value
+
+    def ac_first_body(ci, ss, se):
+        def body(sym, bits):
+            d = dims[ci]
+            eob = 0
+
+            def flush():
+                nonlocal eob
+                if eob:
+                    r = eob.bit_length() - 1
+                    sym(r << 4)
+                    if r:
+                        bits(eob - (1 << r), r)
+                    eob = 0
+
+            for by in range(d["nbh"]):
+                for bx in range(d["nbw"]):
+                    zz = grids[ci][by * d["bw"] + bx]
+                    vals = [
+                        (zz[k] >> AL) if zz[k] >= 0 else -((-zz[k]) >> AL)
+                        for k in range(ss, se + 1)
+                    ]  # magnitude shift toward zero (G.1.2.2)
+                    if not any(vals):
+                        eob += 1
+                        if eob == 0x7FFF:
+                            flush()
+                        continue
+                    flush()
+                    r = 0
+                    for v in vals:
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            sym(0xF0)
+                            r -= 16
+                        s = _category(v)
+                        sym((r << 4) | s)
+                        bits(v if v > 0 else v + (1 << s) - 1, s)
+                        r = 0
+                    if r:
+                        eob += 1
+                        if eob == 0x7FFF:
+                            flush()
+            flush()
+
+        return body
+
+    def ac_refine_body(ci, ss, se):
+        def body(sym, bits):
+            d = dims[ci]
+            eob = 0
+            pend = []  # correction bits buffered until the next symbol
+
+            def flush_eob():
+                nonlocal eob
+                if eob:
+                    r = eob.bit_length() - 1
+                    sym(r << 4)
+                    if r:
+                        bits(eob - (1 << r), r)
+                    eob = 0
+                for b in pend:
+                    bits(b, 1)
+                del pend[:]
+
+            for by in range(d["nbh"]):
+                for bx in range(d["nbw"]):
+                    zz = grids[ci][by * d["bw"] + bx]
+                    temps = [abs(zz[k]) >> 0 for k in range(ss, se + 1)]
+                    # magnitudes visible AFTER this scan (Al=0)
+                    last_new = 0
+                    for i, t in enumerate(temps):
+                        if t == 1:
+                            last_new = i + 1  # 1-based bound for ZRL rule
+                    r, block_pend = 0, []
+                    for i, t in enumerate(temps):
+                        if t == 0:
+                            r += 1
+                            continue
+                        while r > 15 and i < last_new:
+                            flush_eob()
+                            sym(0xF0)
+                            r -= 16
+                            for b in block_pend:
+                                bits(b, 1)
+                            del block_pend[:]
+                        if t > 1:  # nonzero history: correction bit
+                            block_pend.append(t & 1)
+                            continue
+                        flush_eob()
+                        sym((r << 4) | 1)
+                        bits(1 if zz[ss + i] >= 0 else 0, 1)
+                        for b in block_pend:
+                            bits(b, 1)
+                        del block_pend[:]
+                        r = 0
+                    if r > 0 or block_pend:
+                        eob += 1
+                        pend.extend(block_pend)
+                        if eob == 0x7FFF:
+                            flush_eob()
+            flush_eob()
+
+        return body
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([0x00]) + bytes(q)
+    sof = struct.pack(">BHHB", 8, height, width, len(comps))
+    for ci, (_p, hc, vc) in enumerate(comps):
+        sof += bytes([ci + 1, (hc << 4) | vc, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def emit_scan(body, scan_comps, ss, se, ah, al, table_class):
+        """Two-pass scan: count symbols -> optimal DHT -> entropy."""
+        freqs = {}
+        body(lambda s: freqs.__setitem__(s, freqs.get(s, 0) + 1),
+             lambda v, n: None)
+        if freqs:  # refinement DC scans emit raw bits only: no DHT
+            tbits, tvals = _optimal_table(freqs)
+            enc = _canonical_codes(tbits, tvals)
+            dht = bytes([(table_class << 4) | 0]) + bytes(tbits) + bytes(tvals)
+            out.extend(b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht)
+        else:
+            enc = None
+        sos = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            sos += bytes([ci + 1, 0x00])  # table 0 for both classes
+        sos += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        writer = _BitWriter()
+
+        def sym(s):
+            code, length = enc[s]
+            writer.write(code, length)
+
+        body(sym, writer.write)
+        out.extend(writer.flush())
+
+    n = len(comps)
+    emit_scan(dc_first_body, list(range(n)), 0, 0, 0, AL, 0)
+    for ci in range(n):
+        emit_scan(ac_first_body(ci, 1, 5), [ci], 1, 5, 0, AL, 1)
+    for ci in range(n):
+        emit_scan(ac_first_body(ci, 6, 63), [ci], 6, 63, 0, AL, 1)
+    for ci in range(n):
+        emit_scan(ac_refine_body(ci, 1, 63), [ci], 1, 63, AL, 0, 1)
+    emit_scan(dc_refine_body, list(range(n)), 0, 0, AL, 0, 0)
     out += b"\xff\xd9"
     return bytes(out)

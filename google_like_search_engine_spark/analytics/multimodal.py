@@ -6,9 +6,10 @@ pure-Python parser can handle without media libraries:
 - images: BMP (BI_RGB 24/32-bit), PPM (P6, maxval 255), PNG
   (grey/grey+alpha/RGB/RGBA at 8/16-bit, palette at 1/2/4/8-bit,
   non-interlaced AND Adam7-interlaced, all five filters — stdlib zlib
-  does the inflate), baseline-DCT JPEG (full Huffman + IDCT + chroma
-  upsampling pipeline, analytics/jpeg.py; progressive/arithmetic
-  streams raise), and GIF 87a/89a (LZW + interlace + global/local
+  does the inflate), baseline AND progressive DCT JPEG (full Huffman +
+  IDCT + chroma upsampling pipeline, spectral-selection/successive-
+  approximation scans, analytics/jpeg.py; arithmetic-coded streams
+  raise), and GIF 87a/89a (LZW + interlace + global/local
   palettes, first frame, analytics/gif.py),
 - audio: PCM WAV (stdlib ``wave``), with real spectral features
   (numpy rfft centroid/rolloff),

@@ -354,15 +354,16 @@ def test_lossy_formats_still_raise_strict(spark):
     with _pt.raises(Exception, match="NotImplementedError|image library"):
         multimodal.image_features(assets, fake=False).collect()
 
-    # progressive JPEG: SOI + SOF2 -> honest NotImplementedError
-    prog = spark.createDataFrame(
+    # arithmetic-coded JPEG (SOF9): honest NotImplementedError
+    # (progressive SOF2 decodes for real since round 5)
+    arith = spark.createDataFrame(
         [(0, "image",
-          b"\xff\xd8\xff\xc2" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0]),
+          b"\xff\xd8\xff\xc9" + bytes([0, 11, 8, 0, 8, 0, 8, 1, 1, 0x11, 0]),
           {"width": "8"})],
         multimodal.ASSETS_SCHEMA,
     )
     with _pt.raises(Exception, match="NotImplementedError|non-baseline"):
-        multimodal.image_features(prog, fake=False).collect()
+        multimodal.image_features(arith, fake=False).collect()
 
 
 def test_png_encode_decode_roundtrip():
@@ -1015,3 +1016,87 @@ def test_dedup_keep_list_keeps_one_per_cluster(spark):
     assert [rows[i]["keep"] for i in range(1, 8)] == [
         True, True, True, True, False, False, False,
     ]
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive and baseline encode the SAME quantized coefficients
+    (only the entropy-coding order differs), so the decodes must agree
+    pixel-for-pixel — the strongest possible cross-check of the
+    spectral-selection + successive-approximation scan machinery."""
+    from google_like_search_engine_spark.analytics.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def pix(x, y):
+        return ((x * 13 + y * 7) % 256, (x * x + 3 * y) % 256, (255 - x * y) % 256)
+
+    for (w, h), sub in [((16, 16), False), ((23, 11), False),
+                        ((24, 18), True), ((21, 13), True), ((8, 8), False)]:
+        base = decode_jpeg(encode_jpeg(w, h, pix, quant=2, subsample=sub))
+        prog_payload = encode_jpeg_progressive(w, h, pix, quant=2, subsample=sub)
+        assert b"\xff\xc2" in prog_payload and b"\xff\xc0" not in prog_payload[:2]
+        prog = decode_jpeg(prog_payload)
+        assert prog == base, (w, h, sub)
+
+
+def test_jpeg_progressive_property():
+    """Random images: progressive decode == baseline decode, exactly."""
+    import random
+
+    from google_like_search_engine_spark.analytics.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = random.Random(20260817)
+    for trial in range(4):
+        w = rng.randrange(8, 40)
+        h = rng.randrange(8, 40)
+        grid = [
+            [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+             for _ in range(w)]
+            for _ in range(h)
+        ]
+        fn = lambda x, y: grid[y][x]
+        sub = trial % 2 == 1
+        base = decode_jpeg(encode_jpeg(w, h, fn, quant=3, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, fn, quant=3, subsample=sub)
+        )
+        assert prog == base, (trial, w, h, sub)
+
+
+def test_jpeg_progressive_refinement_zrl_paths():
+    """Adversarial low-amplitude high-frequency patterns: coefficients
+    of magnitude 1 are invisible in the first scans (>>1 == 0) and only
+    appear in the refinement scan after long zero-history runs — the
+    ZRL-inside-refinement and correction-bit paths. Decode must still
+    equal baseline exactly."""
+    from google_like_search_engine_spark.analytics.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def make(mode, d):
+        def f(x, y):
+            if mode == "checker":
+                v = 128 + ((x + y) % 2) * d
+            elif mode == "impulse":
+                v = 128 + (d * 8 if (x % 8 == 7 and y % 8 == 7) else 0)
+            else:
+                v = 128 + ((x + y) % 2) * d + (6 if x % 8 == 0 and y % 8 == 0 else 0)
+            v = max(0, min(255, v))
+            return (v, v, v)
+
+        return f
+
+    for d in (1, 2, 3, 5):
+        for mode in ("checker", "impulse", "mix"):
+            f = make(mode, d)
+            base = decode_jpeg(encode_jpeg(24, 16, f, quant=1))
+            prog = decode_jpeg(encode_jpeg_progressive(24, 16, f, quant=1))
+            assert prog == base, (mode, d)
