@@ -615,14 +615,21 @@ def synth_media_assets(spark, n: int = 30) -> DataFrame:
             # rotate container formats over the SAME pixel grid: BMP and
             # PNG are lossless (identical features), JPEG is the real
             # baseline codec at quant=1 (near-lossless: features agree
-            # to within the DCT rounding error), GIF gets a
-            # palette-limited variant of the grid (<=256 colors is a
-            # format constraint) — all four decoders are exercised by
-            # the same asset table
+            # to within the DCT rounding error) and slot 2 is the
+            # PROGRESSIVE (SOF2) writer — same coefficients, different
+            # scan order — GIF gets a palette-limited variant of the
+            # grid (<=256 colors is a format constraint) — all five
+            # decode paths are exercised by the same asset table
             if i % 8 == 4:
                 from .jpeg import encode_jpeg
 
                 encoder = lambda w_, h_, fn: encode_jpeg(w_, h_, fn, quant=1)  # noqa: E731
+            elif i % 8 == 2:
+                from .jpeg import encode_jpeg_progressive
+
+                encoder = lambda w_, h_, fn: encode_jpeg_progressive(  # noqa: E731
+                    w_, h_, fn, quant=1
+                )
             elif i % 8 == 6:
                 from .gif import encode_gif
 
