@@ -549,6 +549,7 @@ class SearchEngine:
             return self.spark.createDataFrame([], "url string, n_occurrences long")
         return blocked_phrase_topk(
             self.spark, phrase, blocks.drop("term_bucket"), doc_stats_idx, k=k,
+            url_lookup=self._blocked_url_dict(index_path),
         )
 
     def search_proximity_blocked(
@@ -569,7 +570,8 @@ class SearchEngine:
         if blocks is None:
             return self.spark.createDataFrame([], "url string, n_matches long")
         return blocked_proximity_topk(
-            self.spark, words, window, blocks.drop("term_bucket"), doc_stats_idx, k=k
+            self.spark, words, window, blocks.drop("term_bucket"), doc_stats_idx,
+            k=k, url_lookup=self._blocked_url_dict(index_path),
         )
 
     def index_stats(self, index_path: str) -> dict:

@@ -41,21 +41,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .ranker import expand_query
 
 
-def _local_result_df(spark: SparkSession, rows: list) -> DataFrame:
-    """(url, score) rows already resolved driver-side -> a DataFrame
+def _local_result_df(spark: SparkSession, rows: list,
+                     value_col: str = "score",
+                     value_type: str = "double") -> DataFrame:
+    """(url, value) rows already resolved driver-side -> a DataFrame
     whose collect() is a LocalTableScan (zero Spark jobs). A plain
     createDataFrame would round-trip the rows through parallelize and
     cost one more scheduled job on the latency path."""
     if not rows:
-        return spark.createDataFrame([], "url string, score double")
+        return spark.createDataFrame([], f"url string, {value_col} {value_type}")
 
     def esc(s: str) -> str:
         return s.replace("\\", "\\\\").replace("'", "''")
 
+    sqlt = value_type.upper()
     vals = ", ".join(
-        f"('{esc(u)}', CAST({s!r} AS DOUBLE))" for u, s in rows
+        f"('{esc(u)}', CAST({v!r} AS {sqlt}))" for u, v in rows
     )
-    return spark.sql(f"SELECT url, score FROM (VALUES {vals}) AS t(url, score)")
+    return spark.sql(
+        f"SELECT url, {value_col} FROM (VALUES {vals}) AS t(url, {value_col})"
+    )
 
 
 def _bm25_partial(k1: float, b: float, n: float, avgdl: float):
@@ -645,6 +650,7 @@ def blocked_phrase_topk(
     blocks: DataFrame,
     doc_stats_idx: DataFrame,
     k: int = 10,
+    url_lookup: dict | None = None,
 ) -> DataFrame:
     """Positional phrase query straight off the compressed blocked index
     — the query the positions varint store exists for (the reference's
@@ -695,9 +701,26 @@ def blocked_phrase_topk(
             )
             .where(F.size("p") > 0)
         )
+    counts = cur.select(
+        "doc_index", F.size("p").cast("long").alias("n_occurrences")
+    )
+    if url_lookup is not None:
+        # engine layouts assign doc_index in url order, so the
+        # doc_index tiebreak IS the url tiebreak; ONE job + driver-side
+        # url resolution (see blocked_maxscore_topk)
+        rows = (
+            counts.orderBy(F.desc("n_occurrences"), F.asc("doc_index"))
+            .limit(k)
+            .collect()
+        )
+        qblocks.unpersist()
+        return _local_result_df(
+            spark,
+            [(url_lookup[r["doc_index"]], int(r["n_occurrences"])) for r in rows],
+            value_col="n_occurrences", value_type="bigint",
+        )
     out = (
-        cur.select("doc_index", F.size("p").cast("long").alias("n_occurrences"))
-        .join(doc_stats_idx.select("doc_index", "url"), "doc_index")
+        counts.join(doc_stats_idx.select("doc_index", "url"), "doc_index")
         .select("url", "n_occurrences")
         .orderBy(F.desc("n_occurrences"), F.asc("url"))
         .limit(k)
@@ -714,6 +737,7 @@ def blocked_proximity_topk(
     blocks: DataFrame,
     doc_stats_idx: DataFrame,
     k: int = 10,
+    url_lookup: dict | None = None,
 ) -> DataFrame:
     """Proximity query over the compressed blocked index: rank docs by
     the number of anchor positions of ``terms[0]`` that have EVERY
@@ -759,9 +783,21 @@ def blocked_proximity_topk(
             )
             .where(F.size("p") > 0)
         )
+    counts = cur.select("doc_index", F.size("p").cast("long").alias("n_matches"))
+    if url_lookup is not None:
+        rows = (
+            counts.orderBy(F.desc("n_matches"), F.asc("doc_index"))
+            .limit(k)
+            .collect()
+        )
+        qblocks.unpersist()
+        return _local_result_df(
+            spark,
+            [(url_lookup[r["doc_index"]], int(r["n_matches"])) for r in rows],
+            value_col="n_matches", value_type="bigint",
+        )
     out = (
-        cur.select("doc_index", F.size("p").cast("long").alias("n_matches"))
-        .join(doc_stats_idx.select("doc_index", "url"), "doc_index")
+        counts.join(doc_stats_idx.select("doc_index", "url"), "doc_index")
         .select("url", "n_matches")
         .orderBy(F.desc("n_matches"), F.asc("url"))
         .limit(k)
