@@ -1100,3 +1100,37 @@ def test_jpeg_progressive_refinement_zrl_paths():
             base = decode_jpeg(encode_jpeg(24, 16, f, quant=1))
             prog = decode_jpeg(encode_jpeg_progressive(24, 16, f, quant=1))
             assert prog == base, (mode, d)
+
+
+def test_dedup_corpus_pipeline(spark, tmp_path):
+    """End-to-end corpus dedup (scripts/dedup_corpus.py): exact dups,
+    near dups, and an overlapping exact+near cluster resolve to ONE
+    canonical survivor via the shared connected-components pass."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "dedup_corpus_script",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "dedup_corpus.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = "the quick brown fox jumps over the lazy dog near the river today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                                   # exact dup of 1
+            (3, base.replace("today", "tomorrow")),      # near dup of 1
+            (4, "completely different text about spark shuffles and joins"),
+            (5, base),                                   # exact dup of 1 (chain)
+        ],
+        "doc_id long, text string",
+    )
+    kept, keep_list = mod.dedup_corpus(spark, docs, jaccard=0.4)
+    rows = {r["id"]: r for r in keep_list.collect()}
+    assert [rows[i]["component_id"] for i in (1, 2, 3, 4, 5)] == [1, 1, 1, 4, 1]
+    assert rows[1]["reason"] == "canonical" and rows[4]["reason"] == "canonical"
+    assert rows[2]["reason"] == "exact_dup" and rows[5]["reason"] == "exact_dup"
+    assert rows[3]["reason"] == "near_dup"
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
