@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Physical-plan audit: assert the plan properties the 100 TB design
+claims, straight from Catalyst's formatted explain output.
+
+For each audited query this checks (and records) the things that
+matter at scale, not wall-clock (which drifts with host epoch):
+  * filters reach the parquet scan (PushedFilters), so a selective
+    query reads a fraction of the data;
+  * column pruning reaches the scan (ReadSchema lists only the
+    referenced columns);
+  * small dimensions broadcast (BroadcastHashJoin) instead of
+    shuffling the fact table;
+  * the hot path stays inside WholeStageCodegen (no row-at-a-time
+    Python in TPC-H / BM25 scoring plans).
+
+Writes BENCH/plan_audit_round5.txt (full formatted plans) and prints
+one PASS/FAIL line per assertion. Exit code 1 on any FAIL.
+
+Usage: python scripts/plan_audit.py [sf_dir=/root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from google_like_search_engine_spark import catalog as c  # noqa: E402
+from google_like_search_engine_spark import catalog_text as t  # noqa: E402
+from google_like_search_engine_spark.session import get_spark  # noqa: E402
+
+
+def formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_audit", cores=8, shuffle_partitions=8)
+    # AQE defers plan finalization, hiding codegen annotations from an
+    # un-executed formatted explain; turn it off for the audit so the
+    # static plan shows its WholeStageCodegen grouping
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    audits = []  # (name, plan, [(check_name, predicate_result)])
+
+    def audit(name, df, checks):
+        plan = formatted_plan(df)
+        results = [(cn, fn(plan)) for cn, fn in checks]
+        audits.append((name, plan, results))
+
+    def has(s):
+        return lambda plan: s in plan
+
+    def not_has(s):
+        return lambda plan: s not in plan
+
+    # TPC-H q6: tight predicate -> every filter pushed to the lineitem
+    # scan, only the 4 referenced columns read, one codegen stage
+    audit("tpch_q6", c.tpch_q6(spark, sf_dir), [
+        ("filters pushed to scan", has("PushedFilters: [IsNotNull(l_shipdate)")),
+        ("columns pruned at scan",
+         lambda p: "l_extendedprice" in p.split("ReadSchema")[1][:300]
+         and "l_comment" not in p),
+        ("whole-stage codegen", has("[codegen id :")),
+        ("no python udf", not_has("BatchEvalPython")),
+    ])
+
+    # TPC-H q3: customer/orders dimensions broadcast against lineitem
+    audit("tpch_q3", c.tpch_q3(spark, sf_dir), [
+        ("broadcast join", has("BroadcastHashJoin")),
+        ("filters pushed", has("PushedFilters: [IsNotNull(")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
+    # TPC-H q5: 5-way join keeps every dimension broadcast
+    audit("tpch_q5", c.tpch_q5(spark, sf_dir), [
+        ("broadcast join", has("BroadcastHashJoin")),
+        ("no python udf", not_has("BatchEvalPython")),
+    ])
+
+    # relational BM25: term filter pushed into the token pipeline's scan
+    audit("bm25_search", t.bm25_search(spark, sf_dir), [
+        ("documents scan pruned to (doc_id, text)",
+         lambda p: "text" in p and "title" not in p.split("ReadSchema")[-1][:200]),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
+    # blocked BM25 serving plan: the term isin filter must reach the
+    # blocks scan as pushed In(...) so term-bucket files prune
+    from google_like_search_engine_spark.compression import (
+        assign_doc_indexes,
+        block_postings,
+    )
+    from google_like_search_engine_spark.indexer import build_postings
+
+    docs = c.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+    )
+    postings = build_postings(docs)
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(F.broadcast(idx), "doc_id"))
+    blocks.write.mode("overwrite").parquet("/tmp/plan_audit_blocks")
+    bdf = spark.read.parquet("/tmp/plan_audit_blocks").where(
+        F.col("term").isin(["spark", "shuffle"])
+    )
+    audit("blocked_term_scan", bdf, [
+        ("term isin pushed to parquet scan",
+         lambda p: "PushedFilters" in p and "In(term" in p),
+        ("metadata columns only when projected",
+         lambda p: "ReadSchema" in p),
+    ])
+
+    # wordcount (the flatMap archetype): explode stays JVM-side
+    audit("wordcount", t.wordcount(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
+    out_path = os.path.join(REPO, "BENCH", "plan_audit_round5.txt")
+    failed = 0
+    with open(out_path, "w") as f:
+        for name, plan, results in audits:
+            f.write(f"==== {name} ====\n{plan}\n")
+            for cn, ok in results:
+                line = f"{'PASS' if ok else 'FAIL'}  {name}: {cn}"
+                print(line)
+                f.write(line + "\n")
+                if not ok:
+                    failed += 1
+            f.write("\n")
+    print(f"wrote {out_path}")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
