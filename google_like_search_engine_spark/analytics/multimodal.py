@@ -88,9 +88,11 @@ def decode_bmp(payload: bytes):
         raise ValueError(f"unsupported BMP header size {hdr_size}")
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression == 1 and bpp == 8:  # BI_RLE8 (palette-indexed)
+        return _decode_bmp_rle8(payload, pixel_off, hdr_size, w, h)
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"only BI_RGB 24/32-bit and BI_RLE8 BMP supported (bpp={bpp}, "
             f"compression={compression})"
         )
     top_down = h < 0
@@ -112,6 +114,116 @@ def decode_bmp(payload: bytes):
             ]
         )
     return w, h, 3, [px for r in rows for px in r]
+
+
+def _decode_bmp_rle8(payload: bytes, pixel_off: int, hdr_size: int,
+                     w: int, h: int):
+    """BI_RLE8 decode: 8-bit palette indexes run-length coded as
+    (count, index) pairs with escape codes 0,0=end-of-line 0,1=end of
+    bitmap 0,2=delta(dx,dy) 0,n>=3=absolute run (word-aligned). RLE
+    bitmaps are always bottom-up. Untouched pixels are palette[0], as
+    Windows renders them."""
+    if h < 0:
+        raise ValueError("RLE BMP cannot be top-down")
+    ncolors = struct.unpack_from("<I", payload, 46)[0] or 256
+    pal_off = 14 + hdr_size
+    palette = [
+        (payload[pal_off + 4 * i + 2], payload[pal_off + 4 * i + 1],
+         payload[pal_off + 4 * i])
+        for i in range(ncolors)
+    ]
+    idx = [[0] * w for _ in range(h)]  # bottom-up row-major
+    x = y = 0
+    pos = pixel_off
+    while pos + 1 < len(payload):
+        cnt, val = payload[pos], payload[pos + 1]
+        pos += 2
+        if cnt > 0:  # encoded run
+            for _ in range(cnt):
+                if x < w and y < h:
+                    idx[y][x] = val
+                x += 1
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            x += payload[pos]
+            y += payload[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal indexes, padded to a word
+            for i in range(val):
+                if x < w and y < h:
+                    idx[y][x] = payload[pos + i]
+                x += 1
+            pos += val + (val & 1)
+    pixels = []
+    for row in range(h - 1, -1, -1):  # bottom-up storage -> top-down out
+        pixels.extend(palette[i] for i in idx[row])
+    return w, h, 3, pixels
+
+
+def encode_bmp_rle8(width: int, height: int, pixel_fn, palette=None):
+    """BI_RLE8 writer for fixtures: quantizes pixel_fn through a
+    256-color palette (default: 6x6x6 color cube + greys) and emits
+    encoded runs + absolute blocks + EOL/EOB escapes."""
+    if palette is None:
+        palette = [
+            (r * 51, g * 51, b * 51)
+            for r in range(6) for g in range(6) for b in range(6)
+        ] + [(v * 16 + 8,) * 3 for v in range(16)] + [(0, 0, 0)] * 24
+    lookup = {}
+
+    def nearest(px):
+        if px not in lookup:
+            lookup[px] = min(
+                range(len(palette)),
+                key=lambda i: sum((a - b) ** 2 for a, b in zip(palette[i], px)),
+            )
+        return lookup[px]
+
+    data = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up
+        xs = [nearest(pixel_fn(x, row)) for x in range(width)]
+        x = 0
+        while x < width:
+            run = 1
+            while x + run < width and xs[x + run] == xs[x] and run < 255:
+                run += 1
+            if run >= 2:
+                data += bytes([run, xs[x]])
+                x += run
+            else:
+                # absolute block of literals until the next run of >= 3
+                lit_end = x + 1
+                while lit_end < width and (lit_end - x) < 255:
+                    nxt = 1
+                    while (lit_end + nxt < width
+                           and xs[lit_end + nxt] == xs[lit_end] and nxt < 3):
+                        nxt += 1
+                    if nxt >= 3:
+                        break
+                    lit_end += 1
+                n = lit_end - x
+                if n >= 3:
+                    data += bytes([0, n]) + bytes(xs[x:lit_end])
+                    if n & 1:
+                        data += b"\x00"
+                else:
+                    for i in range(n):
+                        data += bytes([1, xs[x + i]])
+                x = lit_end
+        data += b"\x00\x00"  # EOL
+    data += b"\x00\x01"  # EOB
+
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette[:256])
+    pixel_off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", pixel_off + len(data), 0, 0, pixel_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(data), 2835, 2835,
+        256, 0,
+    )
+    return bytes(hdr + info + pal + data)
 
 
 def decode_ppm(payload: bytes):

@@ -1134,3 +1134,41 @@ def test_dedup_corpus_pipeline(spark, tmp_path):
     assert rows[2]["reason"] == "exact_dup" and rows[5]["reason"] == "exact_dup"
     assert rows[3]["reason"] == "near_dup"
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+
+
+def test_bmp_rle8_roundtrip_and_escapes():
+    """BI_RLE8 BMP: palette-exact pixels round-trip losslessly through
+    encoded runs, absolute literal blocks (word-padded), EOL and EOB
+    escapes; delta-skipped pixels render palette[0]."""
+    import struct
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        decode_bmp,
+        encode_bmp_rle8,
+    )
+
+    pix = lambda x, y: (((x * 2) % 6) * 51, ((y * 3) % 6) * 51, ((x + y) % 6) * 51)  # noqa: E731
+    for w, h in [(7, 5), (16, 9), (1, 1), (13, 2)]:
+        W, H, C, got = decode_bmp(encode_bmp_rle8(w, h, pix))
+        assert (W, H, C) == (w, h, 3)
+        assert got == [pix(x, y) for y in range(h) for x in range(w)]
+
+    # hand-built stream exercising the delta escape: run of 2 index-1
+    # pixels, delta +2/+1, run of 1 index-2, EOB; untouched -> palette[0]
+    palette = [(10, 20, 30), (200, 0, 0), (0, 200, 0)] + [(0, 0, 0)] * 253
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in palette)
+    data = bytes([2, 1, 0, 2, 2, 1, 1, 2, 0, 1])
+    off = 14 + 40 + len(pal)
+    payload = (
+        b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 6, 3, 1, 8, 1, len(data),
+                      0, 0, 256, 0)
+        + pal + data
+    )
+    w, h, c, got = decode_bmp(payload)
+    assert (w, h) == (6, 3)
+    grid = [got[r * 6:(r + 1) * 6] for r in range(3)]
+    # bottom-up: stream row 0 = image row 2
+    assert grid[2][0] == grid[2][1] == (200, 0, 0)
+    assert grid[1][4] == (0, 200, 0)          # after delta dx=2 dy=1
+    assert grid[2][2] == grid[0][0] == (10, 20, 30)  # untouched
