@@ -308,3 +308,62 @@ def test_blocked_maxscore_threshold_prunes_blocks(spark):
     assert 1 <= live < total_blocks, (live, total_blocks)
     for df in (postings, blocks, doc_stats_idx):
         df.unpersist()
+
+
+def test_low_latency_conf_restores_on_exception(spark):
+    from google_like_search_engine_spark.engine import low_latency
+
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    before_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    with pytest.raises(RuntimeError):
+        with low_latency(spark, shuffle_partitions=3):
+            assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.adaptive.enabled") == before_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before_sp
+
+
+def test_url_dict_fast_path_escapes_hostile_urls(spark, tmp_path):
+    """The driver-side forward-index path interpolates urls into a SQL
+    VALUES literal; quotes and backslashes in crawled urls must survive
+    byte-identically and match the distributed join path."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.indexer import build_postings
+
+    urls = [
+        "http://a/it's",
+        'http://b/q="x"',
+        "http://c/back\\slash",
+        "http://d/plain",
+    ]
+    docs = spark.createDataFrame(
+        [(str(i), u, f"common text plus unique{i} token") for i, u in enumerate(urls)],
+        "doc_id string, url string, text string",
+    )
+    eng = SearchEngine(spark)
+    eng.postings = build_postings(docs)
+    eng.doc_stats = eng.postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    eng.term_df = eng.postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    eng.total_documents = 4
+    eng._avgdl = float(
+        eng.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0]
+    )
+    path = str(tmp_path / "blocked")
+    eng.save_blocked(path)
+
+    fast = [(r["url"], round(r["score"], 6))
+            for r in eng.search_bm25_blocked(path, "common text", k=4).collect()]
+    assert sorted(u for u, _ in fast) == sorted(urls)
+
+    slow_eng = SearchEngine(spark)
+    slow_eng.URL_DICT_CAP = -1  # force the distributed join path
+    slow = [(r["url"], round(r["score"], 6))
+            for r in slow_eng.search_bm25_blocked(path, "common text", k=4).collect()]
+    assert fast == slow
