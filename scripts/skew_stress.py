@@ -171,12 +171,21 @@ def run_py(code: str, *args) -> dict:
     raise RuntimeError(f"no RESULT line in:\n{out[-2000:]}")
 
 
-def probe() -> float:
+def probe() -> dict:
+    """Host-epoch canaries: CPU busyloop AND first-touch allocation
+    bandwidth (this box has epochs where page faults are ~100x slow
+    while the CPU probe stays normal — the alloc probe catches those)."""
     t0 = time.time()
     x = 0
     for i in range(20_000_000):
         x += i
-    return round(time.time() - t0, 2)
+    busy = round(time.time() - t0, 2)
+    import numpy as np
+    a = np.zeros(200_000_000, dtype=np.uint8)
+    t0 = time.time()
+    a.copy()
+    return {"busyloop_sec": busy,
+            "fresh_alloc_gbps": round(0.2 / (time.time() - t0), 2)}
 
 
 def main():
