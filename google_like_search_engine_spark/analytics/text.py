@@ -283,3 +283,40 @@ def partial_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def best_snippet_window(
+    df: DataFrame,
+    terms: list,
+    id_col: str = "id",
+    text_col: str = "text",
+    width: int = 10,
+) -> DataFrame:
+    """Search-result snippets: for each doc containing at least one of
+    ``terms``, the ``width``-token window with the MOST query-term hits
+    (earliest window on ties — deterministic), as (id, n_hits,
+    snippet). Pure JVM array algebra (transform/slice/aggregate inside
+    whole-stage codegen, O(n_tokens x width) per doc, no Python
+    worker) — the result-page step the reference's frontend stops
+    short of (RankerStarter returns bare urls)."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    hit = F.transform(toks, lambda t: t.isin(terms).cast("int"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)))
+    win_scores = F.transform(
+        starts,
+        lambda i: F.aggregate(
+            F.slice(hit, i, width), F.lit(0), lambda acc, x: acc + x
+        ),
+    )
+    best = F.array_max(win_scores)
+    best_pos = F.array_position(win_scores, best)  # first max = earliest
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            best.alias("n_hits"),
+            F.array_join(
+                F.slice(toks, best_pos.cast("int"), width), " "
+            ).alias("snippet"),
+        )
+        .where(F.col("n_hits") > 0)
+    )

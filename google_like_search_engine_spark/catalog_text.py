@@ -1175,3 +1175,60 @@ FROM tf a JOIN tf b ON a.h = b.h AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {_KR_MIN_SHARED}
 """
+
+
+# --------------------------------------------------------------------------
+# Search-result snippets (best query-term window), SQL-mirrored
+# --------------------------------------------------------------------------
+
+_SNIPPET_WIDTH = 10
+
+
+def search_snippets(spark, sf_dir):
+    """Result snippets for the standard query terms: per matching doc,
+    the 10-token window with the most query-term hits (earliest on
+    ties) — analytics/text.best_snippet_window, all JVM array algebra.
+    The oracle replays the sliding-window hit counts with DuckDB list
+    functions and picks the same argmax window."""
+    from .analytics.text import best_snippet_window
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    out = best_snippet_window(docs, QUERY_TERMS, width=_SNIPPET_WIDTH)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        "snippet",
+    )
+
+
+SEARCH_SNIPPETS_SQL = f"""
+WITH toksarr AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, toks,
+         list_transform(
+           toks,
+           t -> CASE WHEN t IN ({", ".join(f"'{t}'" for t in QUERY_TERMS)})
+                THEN 1 ELSE 0 END
+         ) AS h
+  FROM toksarr
+),
+wins AS (
+  SELECT doc_id, toks, g.i AS i,
+         CAST(list_sum(h[g.i : g.i + {_SNIPPET_WIDTH - 1}]) AS BIGINT) AS s
+  FROM hits
+  CROSS JOIN unnest(generate_series(1, len(toks))) AS g(i)
+),
+best AS (
+  SELECT doc_id,
+         s AS n_hits,
+         array_to_string(toks[i : i + {_SNIPPET_WIDTH - 1}], ' ') AS snippet
+  FROM wins
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, i ASC) = 1
+)
+SELECT doc_id, n_hits, snippet FROM best WHERE n_hits > 0
+"""

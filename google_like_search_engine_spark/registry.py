@@ -587,6 +587,10 @@ EXTRA_ORACLE_QUERIES["bm25_filtered_search"] = (
 # demoted from the 50-entry gate across rounds 4-5 to admit the
 # composite + LLM-pipeline entries; parity-tested here exactly like
 # the gate (tests/test_oracle_parity.py)
+EXTRA_ORACLE_QUERIES["search_snippets"] = (
+    t.search_snippets,
+    t.SEARCH_SNIPPETS_SQL,
+)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)

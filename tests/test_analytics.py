@@ -1172,3 +1172,30 @@ def test_bmp_rle8_roundtrip_and_escapes():
     assert grid[2][0] == grid[2][1] == (200, 0, 0)
     assert grid[1][4] == (0, 200, 0)          # after delta dx=2 dy=1
     assert grid[2][2] == grid[0][0] == (10, 20, 30)  # untouched
+
+
+def test_best_snippet_window_tiebreak_and_edges(spark):
+    """Earliest-window-on-ties, window truncation at doc end, and
+    no-hit docs dropped."""
+    from google_like_search_engine_spark.analytics.text import (
+        best_snippet_window,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x spark y z z z z z z z z z spark shuffle"),  # best at tail
+            (2, "spark a b c d e f g h i j k spark"),  # tie: earliest wins
+            (3, "nothing relevant here at all"),
+            (4, "short spark"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in
+            best_snippet_window(docs, ["spark", "shuffle"], width=5).collect()}
+    assert 3 not in rows
+    assert rows[1]["n_hits"] == 2
+    assert rows[1]["snippet"].split() == ["z", "spark", "shuffle"][:3] or \
+        "spark shuffle" in rows[1]["snippet"]
+    assert rows[2]["n_hits"] == 1
+    assert rows[2]["snippet"].startswith("spark a")  # earliest of the tie
+    assert rows[4]["snippet"] == "short spark"  # window truncates at end
