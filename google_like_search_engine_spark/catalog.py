@@ -1151,3 +1151,56 @@ SELECT s_suppkey, s_name, total_revenue
 FROM supplier JOIN revenue ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
 """
+
+
+def streaming_events_hourly(spark, sf_dir):
+    """Structured-Streaming twin of events_hourly: the events table
+    replayed through readStream -> watermark -> 1-hour windowed
+    aggregation, drained with availableNow into a complete-mode memory
+    sink. Proves the stateful streaming aggregation computes EXACTLY
+    the batch relation — the oracle is shared with events_hourly.
+    (Complete mode emits every window regardless of the final
+    watermark, which is what makes a bounded replay comparable; the
+    watermark still bounds state on an unbounded stream.)"""
+    import os
+    import shutil
+
+    # the file streaming source needs a landing DIRECTORY; stage the
+    # events table into one (the single-file table plays the role of
+    # one arrived batch)
+    base = f"/tmp/spark_graft_sehourly_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(f"{base}/in")
+    src = spark.readStream.schema(ev.schema).parquet(f"{base}/in")
+    # the table stores TIMESTAMP_NTZ; watermarks require an instant, and
+    # the session-tz cast keeps wall-clock values (so the hour strings
+    # match the batch oracle exactly)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        src.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+    )
+    name = "stream_events_hourly_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .localCheckpoint(eager=True)
+    )

@@ -1199,3 +1199,45 @@ def test_best_snippet_window_tiebreak_and_edges(spark):
     assert rows[2]["n_hits"] == 1
     assert rows[2]["snippet"].startswith("spark a")  # earliest of the tie
     assert rows[4]["snippet"] == "short spark"  # window truncates at end
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Random pair graphs: the distributed min-label propagation must
+    match a driver-side union-find exactly."""
+    import random
+
+    from google_like_search_engine_spark.analytics.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(20260817)
+    for trial in range(3):
+        n = 60
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randrange(10, 70))
+            }
+        )
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {
+            i: find(i) for i in range(n) if any(i in p for p in pairs)
+        }
+        got = {
+            r["id"]: r["component_id"]
+            for r in connected_components(
+                spark.createDataFrame(pairs, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == want, trial
