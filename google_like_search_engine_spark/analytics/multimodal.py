@@ -30,6 +30,7 @@ Asset table schema:
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from typing import Iterator
 
@@ -435,27 +436,26 @@ def encode_png(width: int, height: int, pixel_fn) -> bytes:
     )
 
 
-def decode_image_batch(payload: bytes, meta: dict, fake: bool):
-    """Decode one image payload to (w, h, channels, features[8]).
-
-    REAL path for BMP / PPM / PNG / baseline JPEG (pure-Python parsers);
-    other formats raise in strict mode (no codec libs in this
-    environment) or produce a deterministic md5-derived fake in fake
-    mode."""
+def decode_image_pixels(payload: bytes, meta: dict, fake: bool):
+    """Decode one image payload to (w, h, channels, pixels row-major
+    [(r,g,b)]). REAL path for BMP (incl. RLE8) / PPM / PNG /
+    baseline+progressive JPEG / GIF; other formats raise in strict mode
+    (no codec libs in this environment) or produce a deterministic
+    payload-hash-derived fake in fake mode."""
     if payload[:2] == b"BM":
-        return _with_features(decode_bmp(payload))
+        return decode_bmp(payload)
     if payload[:2] == b"P6":
-        return _with_features(decode_ppm(payload))
+        return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:
-        return _with_features(decode_png(payload))
+        return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
-        return _with_features(decode_jpeg(payload))
+        return decode_jpeg(payload)
     if payload[:4] == b"GIF8":
         from .gif import decode_gif
 
-        return _with_features(decode_gif(payload))
+        return decode_gif(payload)
     if not fake:
         raise NotImplementedError(
             "decode for this format requires an image library not present "
@@ -464,7 +464,92 @@ def decode_image_batch(payload: bytes, meta: dict, fake: bool):
         )
     w = int(meta.get("width", 16))
     h = int(meta.get("height", 16))
-    return w, h, 3, _fake_floats(payload, 8)
+    d = hashlib.md5(payload).digest()
+    pix = [
+        (d[(3 * i) % 16], d[(3 * i + 1) % 16], d[(3 * i + 2) % 16])
+        for i in range(w * h)
+    ]
+    return w, h, 3, pix
+
+
+def decode_image_batch(payload: bytes, meta: dict, fake: bool):
+    """Decode one image payload to (w, h, channels, features[8])."""
+    if fake and payload[:2] not in (b"BM", b"P6") and payload[:8] != _PNG_SIG \
+            and payload[:2] != b"\xff\xd8" and payload[:4] != b"GIF8":
+        # fake-mode feature path keeps its historical md5-float shape
+        w = int(meta.get("width", 16))
+        h = int(meta.get("height", 16))
+        return w, h, 3, _fake_floats(payload, 8)
+    return _with_features(decode_image_pixels(payload, meta, fake))
+
+
+def bilinear_resize(w: int, h: int, pixels: list, out_w: int, out_h: int):
+    """Pure-Python bilinear resample of row-major (r,g,b) pixels."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    out = []
+    for oy in range(out_h):
+        sy = (oy + 0.5) * h / out_h - 0.5
+        y0 = max(0, min(h - 1, int(math.floor(sy))))
+        y1 = min(h - 1, y0 + 1)
+        fy = min(1.0, max(0.0, sy - y0))
+        for ox in range(out_w):
+            sx = (ox + 0.5) * w / out_w - 0.5
+            x0 = max(0, min(w - 1, int(math.floor(sx))))
+            x1 = min(w - 1, x0 + 1)
+            fx = min(1.0, max(0.0, sx - x0))
+            p00 = pixels[y0 * w + x0]
+            p01 = pixels[y0 * w + x1]
+            p10 = pixels[y1 * w + x0]
+            p11 = pixels[y1 * w + x1]
+            out.append(tuple(
+                int(round(
+                    p00[ch] * (1 - fx) * (1 - fy)
+                    + p01[ch] * fx * (1 - fy)
+                    + p10[ch] * (1 - fx) * fy
+                    + p11[ch] * fx * fy
+                ))
+                for ch in range(3)
+            ))
+    return out
+
+
+RESIZED_SCHEMA = (
+    "asset_id long, width int, height int, payload binary"
+)
+
+
+def resize_images(
+    assets: DataFrame, out_w: int, out_h: int, fake: bool = False
+) -> DataFrame:
+    """Thumbnail/normalization pass over the image assets: decode ->
+    bilinear resample to (out_w, out_h) -> re-encode as lossless PNG —
+    (asset_id, width, height, payload). The standard pre-training
+    image-normalization step, Arrow-batched like image_features; the
+    output is itself a valid asset table payload (PNG), so resize
+    composes with every downstream decode/feature op."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                w, h, _c, pix = decode_image_pixels(
+                    bytes(payload), dict(meta or {}), fake
+                )
+                small = bilinear_resize(w, h, pix, out_w, out_h)
+                png = encode_png(out_w, out_h, lambda x, y: small[y * out_w + x])
+                rows.append((aid, out_w, out_h, png))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "payload"]
+            )
+
+    return (
+        assets.where(F.col("kind") == "image")
+        .select("asset_id", "payload", "meta")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )
 
 
 def _with_features(decoded):

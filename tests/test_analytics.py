@@ -1241,3 +1241,46 @@ def test_connected_components_random_vs_union_find(spark):
             ).collect()
         }
         assert got == want, trial
+
+
+def test_resize_images_bilinear(spark):
+    """Resize: identity at same size, exact 2x downscale averaging on
+    a block pattern, and PNG output that re-enters the decode pipeline."""
+    from google_like_search_engine_spark.analytics.multimodal import (
+        ASSETS_SCHEMA,
+        bilinear_resize,
+        decode_png,
+        encode_bmp,
+        image_features,
+        resize_images,
+    )
+
+    # identity: same-size resize returns the same pixels
+    pix = [(x * 10 % 256, y * 20 % 256, (x + y) % 256)
+           for y in range(6) for x in range(8)]
+    assert bilinear_resize(8, 6, pix, 8, 6) == pix
+
+    # 2x downscale of a 2x2-block image averages each block exactly
+    big = [(0, 0, 0)] * 16
+    for y in range(4):
+        for x in range(4):
+            big[y * 4 + x] = (200, 100, 0) if (x // 2 + y // 2) % 2 == 0 else (0, 100, 200)
+    small = bilinear_resize(4, 4, big, 2, 2)
+    assert small[0] == (200, 100, 0) and small[1] == (0, 100, 200)
+
+    def src(x, y):
+        return ((x * 37) % 256, (y * 53) % 256, (x * y) % 256)
+
+    assets = spark.createDataFrame(
+        [(0, "image", encode_bmp(16, 12, src), {})], ASSETS_SCHEMA
+    )
+    out = resize_images(assets, 8, 6).collect()
+    assert len(out) == 1 and out[0]["width"] == 8 and out[0]["height"] == 6
+    w, h, c, got = decode_png(bytes(out[0]["payload"]))
+    assert (w, h, c) == (8, 6, 3)
+    # resized payloads feed straight back into image_features
+    back = spark.createDataFrame(
+        [(0, "image", bytes(out[0]["payload"]), {})], ASSETS_SCHEMA
+    )
+    feats = image_features(back, fake=False).collect()
+    assert feats[0]["width"] == 8 and len(feats[0]["features"]) == 8
