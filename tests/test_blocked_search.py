@@ -367,3 +367,53 @@ def test_url_dict_fast_path_escapes_hostile_urls(spark, tmp_path):
     slow = [(r["url"], round(r["score"], 6))
             for r in slow_eng.search_bm25_blocked(path, "common text", k=4).collect()]
     assert fast == slow
+
+
+def test_url_dict_invalidated_on_rebuild(spark, tmp_path):
+    """Rebuilding a blocked index at the same path must refresh the
+    cached driver-side forward index — a stale dict would resolve the
+    new doc_indexes to the OLD corpus's urls."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.indexer import build_postings
+
+    path = str(tmp_path / "blocked")
+
+    def build(urls):
+        eng = SearchEngine(spark)
+        docs = spark.createDataFrame(
+            [(str(i), u, f"shared token corpus{i}") for i, u in enumerate(urls)],
+            "doc_id string, url string, text string",
+        )
+        eng.postings = build_postings(docs)
+        eng.doc_stats = eng.postings.groupBy("doc_id", "url").agg(
+            F.sum("tf").alias("n_term_entries")
+        )
+        eng.term_df = eng.postings.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        eng.total_documents = len(urls)
+        eng._avgdl = float(
+            eng.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0]
+        )
+        eng.save_blocked(path)
+        return eng
+
+    eng = build(["http://old/0", "http://old/1"])
+    got1 = {r["url"] for r in eng.search_bm25_blocked(path, "shared", k=5).collect()}
+    assert got1 == {"http://old/0", "http://old/1"}
+
+    # SAME engine instance, same path, new corpus
+    eng2_urls = ["http://new/0", "http://new/1"]
+    docs2 = spark.createDataFrame(
+        [(str(i), u, f"shared token corpus{i}") for i, u in enumerate(eng2_urls)],
+        "doc_id string, url string, text string",
+    )
+    eng.postings = build_postings(docs2)
+    eng.doc_stats = eng.postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    eng.save_blocked(path)
+    got2 = {r["url"] for r in eng.search_bm25_blocked(path, "shared", k=5).collect()}
+    assert got2 == {"http://new/0", "http://new/1"}
