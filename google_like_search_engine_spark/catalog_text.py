@@ -1232,3 +1232,57 @@ best AS (
 )
 SELECT doc_id, n_hits, snippet FROM best WHERE n_hits > 0
 """
+
+
+def bm25_filtered_blocked(spark, sf_dir):
+    """The `+term -term` boolean-filtered BM25 answered from the
+    COMPRESSED BLOCKED index (wand.blocked_maxscore_topk with
+    required/excluded semi/anti joins over decoded doc sets), checked
+    against the same relational EXISTS/NOT-EXISTS oracle as the flat
+    bm25_filtered_search — the filter capability proven on the serving
+    layout, not just the posting relation."""
+    from .compression import assign_doc_indexes, block_postings
+    from .wand import blocked_maxscore_topk
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("doc_id").cast("string").alias("url"),
+        "text",
+    )
+    n = docs.count()
+    toks = (
+        docs.select("doc_id", "url", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+    tf = toks.groupBy("doc_id", "url", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("dl"))
+    postings = tf.join(dl, "doc_id").withColumn(
+        "positions", F.array().cast("array<int>")
+    )
+    idx = assign_doc_indexes(docs)
+    blocks = block_postings(postings.join(F.broadcast(idx), "doc_id"))
+    dsi = (
+        dl.join(F.broadcast(idx), "doc_id")
+        .select(
+            "doc_index",
+            F.col("doc_id").alias("url"),
+            F.col("dl").alias("n_term_entries"),
+        )
+    )
+    out = blocked_maxscore_topk(
+        spark,
+        " ".join(QUERY_TERMS),
+        blocks,
+        dsi,
+        n,
+        k=1_000_000,
+        use_stems=False,
+        required=[REQUIRED_TERM],
+        excluded=[EXCLUDED_TERM],
+    )
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.round("score", 4).alias("score"),
+    )

@@ -495,12 +495,24 @@ class SearchEngine:
                 dicts[index_path] = None
         return dicts[index_path]
 
-    def search_bm25_blocked(self, index_path: str, query: str, k: int = 10) -> DataFrame:
+    def search_bm25_blocked(
+        self,
+        index_path: str,
+        query: str,
+        k: int = 10,
+        required: list | None = None,
+        excluded: list | None = None,
+    ) -> DataFrame:
         """BM25 top-k straight off the on-disk blocked index: the term
-        filter prunes term_bucket partitions before any decode."""
+        filter prunes term_bucket partitions before any decode.
+        ``required``/``excluded``: `+term -term` boolean filters with
+        the served path's semantics (wand.blocked_maxscore_topk)."""
         words = sorted({w.lower() for w in expand_query(query)})
+        req = [w.lower() for w in (required or [])]
+        exc = [w.lower() for w in (excluded or [])]
+        # bucket pruning must keep the FILTER terms' buckets too
         blocks, doc_stats_idx, total, stats, term_stats = self._pruned_blocked_scan(
-            index_path, words, compute_fallback=True
+            index_path, sorted(set(words + req + exc)), compute_fallback=True
         )
         if blocks is None:
             return self.spark.createDataFrame([], "url string, score double")
@@ -508,6 +520,7 @@ class SearchEngine:
             self.spark, query, blocks.drop("term_bucket"), doc_stats_idx, total,
             k=k, doc_stats_agg=stats, term_stats=term_stats,
             url_lookup=self._blocked_url_dict(index_path),
+            required=req, excluded=exc,
         )
 
     def search_bm25_threshold_blocked(

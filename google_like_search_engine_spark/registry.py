@@ -587,6 +587,10 @@ EXTRA_ORACLE_QUERIES["bm25_filtered_search"] = (
 # demoted from the 50-entry gate across rounds 4-5 to admit the
 # composite + LLM-pipeline entries; parity-tested here exactly like
 # the gate (tests/test_oracle_parity.py)
+EXTRA_ORACLE_QUERIES["bm25_filtered_blocked"] = (
+    t.bm25_filtered_blocked,
+    t.BM25_FILTERED_SEARCH_SQL,
+)
 EXTRA_ORACLE_QUERIES["streaming_events_hourly"] = (
     c.streaming_events_hourly,
     c.EVENTS_HOURLY_SQL,

@@ -85,9 +85,20 @@ def blocked_maxscore_topk(
     term_stats: dict | None = None,
     small_query_entries: int = 100_000,
     url_lookup: dict | None = None,
+    required: list | None = None,
+    excluded: list | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over the compressed blocked index
     (compression.block_postings output) with block-level skipping.
+
+    ``required``/``excluded``: boolean doc filters (`+term -term`
+    syntax) — results must contain every required term and no excluded
+    term (raw lowercased terms, matching the served path's semantics).
+    Filters apply as semi/anti joins on decoded doc sets and force the
+    all-matched-blocks scoring path: MaxScore's unfiltered upper bounds
+    cannot order a FILTERED top-k, and a required term absent from the
+    index yields an empty doc set, hence an empty result, with no
+    dictionary lookup needed.
 
     ``doc_stats_idx``: (doc_index, url, n_term_entries). Score-identical
     to the flat maxscore_topk / naive scorer (property-tested).
@@ -126,6 +137,8 @@ def blocked_maxscore_topk(
     words = sorted({w.lower() for w in (expand_query(query) if use_stems else query.split())})
     if not words:
         return spark.createDataFrame([], "url string, score double")
+    req = sorted({w.lower() for w in (required or [])})
+    exc = sorted({w.lower() for w in (excluded or [])})
     n = float(total_documents)
 
     if doc_stats_agg is not None:
@@ -185,11 +198,26 @@ def blocked_maxscore_topk(
     # matched blocks in ONE job. idf enters as a literal map (no df-join,
     # no per-query createDataFrame — the single-job shape of the served
     # path, engine.search_bm25_served).
-    if sum(dfs.values()) <= small_query_entries:
+    if req or exc or sum(dfs.values()) <= small_query_entries:
         idf_map = F.create_map(
             *[x for t in dfs for x in (F.lit(t), F.lit(idf(dfs[t])))]
         )
         entries = scoring_entries(qblocks.where(F.col("term").isin(list(dfs))))
+        # boolean filters: per-doc semi/anti joins against the decoded
+        # doc sets of the filter terms (every entry of a doc survives
+        # or drops together, so filtering entries == filtering docs)
+        for w in req:
+            entries = entries.join(
+                scoring_entries(blocks.where(F.col("term") == w))
+                .select("doc_index").distinct(),
+                "doc_index", "left_semi",
+            )
+        if exc:
+            entries = entries.join(
+                scoring_entries(blocks.where(F.col("term").isin(exc)))
+                .select("doc_index").distinct(),
+                "doc_index", "left_anti",
+            )
 
         def _partial(dl_col):
             return (

@@ -34,6 +34,10 @@ def main():
                     help="score cutoff for bm25-threshold (all docs >= it)")
     ap.add_argument("--window", type=int, default=5,
                     help="token window for proximity")
+    ap.add_argument("--required", default="",
+                    help="comma-separated +terms (bm25-blocked scorer)")
+    ap.add_argument("--excluded", default="",
+                    help="comma-separated -terms (bm25-blocked scorer)")
     args = ap.parse_args()
 
     from google_like_search_engine_spark.engine import SearchEngine
@@ -67,7 +71,11 @@ def _run_query(eng, args, blocked):
     elif args.scorer == "bm25-pruned":
         res = eng.search_bm25(args.query, k=args.k, pruned=True)
     elif args.scorer == "bm25-blocked":
-        res = eng.search_bm25_blocked(blocked, args.query, k=args.k)
+        res = eng.search_bm25_blocked(
+            blocked, args.query, k=args.k,
+            required=[t for t in args.required.split(",") if t],
+            excluded=[t for t in args.excluded.split(",") if t],
+        )
     elif args.scorer == "bm25-threshold":
         res = eng.search_bm25_threshold_blocked(
             blocked, args.query, threshold=args.threshold

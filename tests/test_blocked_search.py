@@ -417,3 +417,54 @@ def test_url_dict_invalidated_on_rebuild(spark, tmp_path):
     eng.save_blocked(path)
     got2 = {r["url"] for r in eng.search_bm25_blocked(path, "shared", k=5).collect()}
     assert got2 == {"http://new/0", "http://new/1"}
+
+
+def test_blocked_required_excluded_filters(spark, tmp_path):
+    """Blocked +/- filters: subset of the unfiltered result with
+    identical scores; absent required term -> empty; absent excluded
+    term -> no-op (served-path semantics)."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.indexer import build_postings
+
+    rows = [
+        ("0", "u0", "spark shuffle join alpha"),
+        ("1", "u1", "spark shuffle beta"),
+        ("2", "u2", "spark join gamma"),
+        ("3", "u3", "spark shuffle join delta excluded"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, url string, text string")
+    eng = SearchEngine(spark)
+    eng.postings = build_postings(docs)
+    eng.doc_stats = eng.postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    eng.term_df = eng.postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    eng.total_documents = 4
+    eng._avgdl = float(eng.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0])
+    path = str(tmp_path / "blocked")
+    eng.save_blocked(path)
+
+    full = {r["url"]: round(r["score"], 6)
+            for r in eng.search_bm25_blocked(path, "spark shuffle", k=10).collect()}
+    filt = {r["url"]: round(r["score"], 6)
+            for r in eng.search_bm25_blocked(
+                path, "spark shuffle", k=10,
+                required=["join"], excluded=["excluded"]).collect()}
+    # docs containing 'join' and not 'excluded': u0 and u2 (u2 scores
+    # via its 'spark' hit); scores identical to the unfiltered run
+    assert set(filt) == {"u0", "u2"}
+    assert all(filt[u] == full[u] for u in filt)
+
+    filt2 = {r["url"] for r in eng.search_bm25_blocked(
+        path, "spark", k=10, required=["join"], excluded=["excluded"]).collect()}
+    assert filt2 == {"u0", "u2"}
+
+    assert eng.search_bm25_blocked(
+        path, "spark", k=10, required=["zzznope"]).collect() == []
+    noop = {r["url"] for r in eng.search_bm25_blocked(
+        path, "spark", k=10, excluded=["zzznope"]).collect()}
+    assert noop == {"u0", "u1", "u2", "u3"}
