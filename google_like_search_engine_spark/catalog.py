@@ -1204,3 +1204,60 @@ def streaming_events_hourly(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+
+
+def streaming_events_sessions(spark, sf_dir):
+    """Structured-Streaming twin of events_sessions: the CUSTOM stateful
+    sessionizer (streaming/events.sessionize, applyInPandasWithState,
+    30-min gap) replayed over the events table, checked against the
+    batch window-function relation. Append-mode state only emits a
+    session when a LATER event closes it, so a second drain delivers
+    one per-user sentinel event far past the horizon: it closes every
+    user's trailing session (and itself stays in state, never emitted).
+    Emitted sessions then cover the real events exactly — per-user
+    session and event counts must equal the batch lag/cumsum answer."""
+    import os
+    import shutil
+
+    from .streaming.events import sessionize
+
+    base = f"/tmp/spark_graft_ssessions_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir, out_dir, ckpt = f"{base}/in", f"{base}/out", f"{base}/ckpt"
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+
+    def drain():
+        # parquet sink (not memory): the second drain must RESUME the
+        # first's checkpointed session state, which memory sinks reject
+        src = spark.readStream.schema(ev.schema).parquet(in_dir)
+        q = (
+            sessionize(src, use_timeout=False)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ev.write.mode("append").parquet(in_dir)
+    drain()
+    sentinel_ts = F.timestamp_seconds(
+        F.unix_timestamp(F.max("ts")) + F.lit(10 * 1800)
+    )
+    ev.groupBy("user_id").agg(sentinel_ts.alias("ts")).select(
+        "user_id", "ts", F.lit(0.0).alias("value")
+    ).write.mode("append").parquet(in_dir)
+    drain()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .localCheckpoint(eager=True)
+    )

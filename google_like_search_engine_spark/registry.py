@@ -595,6 +595,10 @@ EXTRA_ORACLE_QUERIES["streaming_events_hourly"] = (
     c.streaming_events_hourly,
     c.EVENTS_HOURLY_SQL,
 )
+EXTRA_ORACLE_QUERIES["streaming_events_sessions"] = (
+    c.streaming_events_sessions,
+    c.EVENTS_SESSIONS_SQL,
+)
 EXTRA_ORACLE_QUERIES["search_snippets"] = (
     t.search_snippets,
     t.SEARCH_SNIPPETS_SQL,
