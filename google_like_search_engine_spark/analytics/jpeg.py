@@ -595,12 +595,14 @@ def _decode_prog_scan(data, pos, comps, comp_by_id, coefs, sos_seg, htables,
                 if ss == 0:
                     _prog_dc(reader, blk, htables.get((0, dt)), preds, ci,
                              ah, al)
-                elif ah == 0:
-                    _prog_ac_first(reader, blk, htables[(1, at)], ss, se,
-                                   al, state)
                 else:
-                    _prog_ac_refine(reader, blk, htables[(1, at)], ss, se,
-                                    al, state)
+                    act = htables.get((1, at))
+                    if act is None:
+                        raise ValueError("missing AC Huffman table for scan")
+                    if ah == 0:
+                        _prog_ac_first(reader, blk, act, ss, se, al, state)
+                    else:
+                        _prog_ac_refine(reader, blk, act, ss, se, al, state)
                 unit += 1
 
     # realign: skip to the next non-RST marker

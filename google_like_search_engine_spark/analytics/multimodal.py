@@ -149,10 +149,14 @@ def _decode_bmp_rle8(payload: bytes, pixel_off: int, hdr_size: int,
         elif val == 1:  # end of bitmap
             break
         elif val == 2:  # delta
+            if pos + 2 > len(payload):
+                raise ValueError("truncated RLE8 BMP (delta escape)")
             x += payload[pos]
             y += payload[pos + 1]
             pos += 2
         else:  # absolute mode: val literal indexes, padded to a word
+            if pos + val > len(payload):
+                raise ValueError("truncated RLE8 BMP (absolute run)")
             for i in range(val):
                 if x < w and y < h:
                     idx[y][x] = payload[pos + i]
@@ -462,8 +466,10 @@ def decode_image_pixels(payload: bytes, meta: dict, fake: bool):
             "in this environment; supply BMP/PPM/PNG/baseline-JPEG "
             "payloads, run with fake=True, or plug in a real decoder"
         )
-    w = int(meta.get("width", 16))
-    h = int(meta.get("height", 16))
+    # clamp meta-declared dimensions: fake pixels materialize w*h
+    # tuples, and untrusted metadata must not size executor memory
+    w = min(max(int(meta.get("width", 16)), 1), 1024)
+    h = min(max(int(meta.get("height", 16)), 1), 1024)
     d = hashlib.md5(payload).digest()
     pix = [
         (d[(3 * i) % 16], d[(3 * i + 1) % 16], d[(3 * i + 2) % 16])

@@ -1177,9 +1177,17 @@ def streaming_events_hourly(spark, sf_dir):
     # the session-tz cast keeps wall-clock values (so the hour strings
     # match the batch oracle exactly)
     src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    # group on the same WALL-CLOCK hour truncation as the batch oracle:
+    # F.window() buckets are epoch-aligned, which diverges from
+    # date_trunc in half-hour-offset session timezones (e.g. +05:30)
     agg = (
         src.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum("value"), 3).alias("sum_value"),
@@ -1196,12 +1204,7 @@ def streaming_events_hourly(spark, sf_dir):
     q.awaitTermination()
     return (
         spark.table(name)
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+        .select("hour", "event_type", "n", "sum_value")
         .localCheckpoint(eager=True)
     )
 

@@ -103,6 +103,17 @@ def make_server(
       GET /threshold?query=a+b&threshold=1.5  all docs scoring >= cutoff
       GET /stats                           metadata-only index report
     """
+    import threading
+
+    # Serializes the serving conf scope: SQL conf is per-SESSION, so
+    # under ThreadingHTTPServer two overlapping requests toggling
+    # low_latency() would race — one could restore the other's
+    # overrides mid-query and leave the session permanently in serving
+    # conf for later batch work. The lock makes scope+query atomic
+    # (queries here are single sub-second jobs; a production deployment
+    # gives the serving path a dedicated SparkSession instead and
+    # drops both the toggle and the lock).
+    conf_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet: the driver log is enough
@@ -129,10 +140,7 @@ def make_server(
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                # every route is an interactive query: run it under the
-                # serving conf scope (AQE off, right-sized reduces) —
-                # plan-identical results, fewer driver-scheduled jobs
-                with engine.low_latency():
+                with conf_lock, engine.low_latency():
                     self._dispatch(u, q)
             except Exception as exc:  # surface engine errors as 500 JSON
                 self._json(500, {"error": str(exc)})

@@ -109,12 +109,21 @@ class VersionedTable:
         # rename is atomic on HDFS/posix: never expose a half-written file
         if not fs.rename(tmp, _jpath(self.spark, new_path)):
             raise IOError(f"manifest commit failed for {self.path}")
+        # cleanup keeps the newest TWO manifests: a reader that resolved
+        # seq just before this commit can still open it (deleting it
+        # immediately would reopen the no-manifest race the versioned
+        # names exist to close). Writers are single-process by contract
+        # — concurrent commits need a catalog/lock service, exactly as
+        # real table formats require for their metadata pointer swap.
         for st in fs.listStatus(_jpath(self.spark, self.path)):
             name = st.getPath().getName()
-            old = name == "_manifest.json" or (
+            old = (name == "_manifest.json" and seq >= 0) or (
                 name.startswith("_manifest-")
                 and name.endswith(".json")
-                and name != f"_manifest-{seq + 1}.json"
+                and name not in (
+                    f"_manifest-{seq}.json",
+                    f"_manifest-{seq + 1}.json",
+                )
             )
             if old:
                 fs.delete(st.getPath(), False)

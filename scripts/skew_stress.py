@@ -105,13 +105,15 @@ t0 = time.perf_counter()
 d = docs.repartition(cores * 2)
 flat = build_postings(d)
 idx = assign_doc_indexes(d)
-blocks = block_postings(flat.join(F.broadcast(idx), "doc_id"))
+blocks = block_postings(flat.join(F.broadcast(idx), "doc_id")).persist()
 blocks.write.mode("overwrite").parquet(f"/tmp/skew_blocks_{tag}")
 wall = time.perf_counter() - t0
 
-# reduce-side balance: posting rows (sum of per-group n_docs) per
-# encode partition — the distribution a term-keyed layout skews
-blocks = spark.read.parquet(f"/tmp/skew_blocks_{tag}")
+# reduce-side balance measured on the PRE-WRITE relation: its
+# partitioning IS the (term, block) exchange's reduce tasks. (The
+# written files re-read would show the file-source's split packing —
+# maxPartitionBytes merging/splitting — which can mask a degenerate
+# reduce task entirely.)
 parts = sorted(
     r["rows"]
     for r in blocks.groupBy(F.spark_partition_id().alias("p"))
@@ -122,6 +124,7 @@ head = (
     .agg(F.sum("n_docs").alias("df"), F.count(F.lit(1)).alias("n_blocks"),
          F.max("n_docs").alias("max_group")).collect()[0]
 )
+blocks.unpersist()
 
 # warm head-term query through the real blocked serving path
 eng = SearchEngine(spark)

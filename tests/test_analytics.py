@@ -1284,3 +1284,29 @@ def test_resize_images_bilinear(spark):
     )
     feats = image_features(back, fake=False).collect()
     assert feats[0]["width"] == 8 and len(feats[0]["features"]) == 8
+
+
+def test_bmp_rle8_truncated_payload_raises_cleanly():
+    """Truncated RLE8 streams (delta/absolute escapes cut short) raise
+    the decoders' ValueError contract, not IndexError."""
+    import struct
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        decode_bmp,
+    )
+
+    pal = b"".join(bytes([0, 0, 0, 0]) for _ in range(256))
+    off = 14 + 40 + len(pal)
+
+    def bmp(data):
+        return (
+            b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+            + struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(data),
+                          0, 0, 256, 0)
+            + pal + data
+        )
+
+    with pytest.raises(ValueError, match="delta"):
+        decode_bmp(bmp(bytes([0, 2])))  # delta escape, no dx/dy
+    with pytest.raises(ValueError, match="absolute"):
+        decode_bmp(bmp(bytes([0, 4, 1])))  # absolute run of 4, 1 byte
