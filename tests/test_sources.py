@@ -139,3 +139,160 @@ class TestVersionedTable:
         import os
 
         assert not os.path.exists(str(tmp_path / "vt4" / "snap=0"))
+
+
+class TestVersionedTableV3:
+    """Round-5 extensions to the Iceberg-contract stand-in:
+    manifest-entry file stats + pruned reads, hidden partitioning,
+    optimistic concurrent-writer conflict detection."""
+
+    def _vt(self, spark, tmp_path, name):
+        from google_like_search_engine_spark.sources.versioned import (
+            VersionedTable,
+        )
+
+        return VersionedTable(spark, str(tmp_path / name))
+
+    def test_file_stats_pruning_selects_matching_files_only(
+        self, spark, tmp_path
+    ):
+        t = self._vt(spark, tmp_path, "vt_stats")
+        df = spark.createDataFrame(
+            [(i, f"row{i}") for i in range(400)], "id long, v string"
+        ).repartitionByRange(4, "id")
+        t.write_snapshot(df, stats_cols=["id"])
+        plan = t.plan_files([("id", "=", 7)])
+        assert plan["total"] == 4 and len(plan["selected"]) == 1
+        # range predicate prunes too
+        plan2 = t.plan_files([("id", ">=", 350)])
+        assert len(plan2["selected"]) == 1
+        # pruned read is EXACT vs an unpruned filter
+        got = sorted(
+            r["id"] for r in t.read(where=[("id", ">=", 350)]).collect()
+        )
+        assert got == list(range(350, 400))
+        assert [r["v"] for r in t.read(where=[("id", "=", 7)]).collect()] == [
+            "row7"
+        ]
+
+    def test_pruned_read_empty_selection_is_empty(self, spark, tmp_path):
+        t = self._vt(spark, tmp_path, "vt_empty")
+        t.write_snapshot(
+            spark.createDataFrame([(i,) for i in range(10)], "id long"),
+            stats_cols=["id"],
+        )
+        plan = t.plan_files([("id", "=", 999)])
+        assert plan["selected"] == []
+        assert t.read(where=[("id", "=", 999)]).count() == 0
+
+    def test_string_stats_and_no_stats_columns_never_prune_wrongly(
+        self, spark, tmp_path
+    ):
+        t = self._vt(spark, tmp_path, "vt_str")
+        df = spark.createDataFrame(
+            [(i, chr(ord("a") + i // 25) * 3) for i in range(100)],
+            "id long, tag string",
+        ).repartitionByRange(4, "tag")
+        t.write_snapshot(df, stats_cols=["tag"])
+        assert len(t.plan_files([("tag", "=", "bbb")])["selected"]) <= 2
+        # predicate on a column WITHOUT stats: all files kept, result exact
+        plan = t.plan_files([("id", "=", 5)])
+        assert len(plan["selected"]) == plan["total"]
+        assert t.read(where=[("id", "=", 5)]).count() == 1
+
+    def test_hidden_partitioning_mod(self, spark, tmp_path):
+        from google_like_search_engine_spark.sources.versioned import PART_COL
+
+        t = self._vt(spark, tmp_path, "vt_hidden")
+        df = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(64)], "doc_id long, body string"
+        )
+        t.write_snapshot(df, partition_by=("mod", "doc_id", 4))
+        # reader names the SOURCE column; the physical key prunes invisibly
+        plan = t.plan_files([("doc_id", "=", 6)])
+        assert plan["partition_pruned"]
+        assert all(p.startswith(f"{PART_COL}=2/") for p in plan["selected"])
+        out = t.read(where=[("doc_id", "=", 6)])
+        assert PART_COL not in out.columns
+        assert [r["body"] for r in out.collect()] == ["d6"]
+        # plain read hides the partition column too, full row count intact
+        full = t.read()
+        assert PART_COL not in full.columns and full.count() == 64
+
+    def test_hidden_partitioning_truncate_strings(self, spark, tmp_path):
+        t = self._vt(spark, tmp_path, "vt_trunc")
+        rows = [(f"site{i % 3}/page{i}", i) for i in range(30)]
+        t.write_snapshot(
+            spark.createDataFrame(rows, "url string, n long"),
+            partition_by=("truncate", "url", 5),
+        )
+        plan = t.plan_files([("url", "=", "site1/page4")])
+        assert plan["partition_pruned"] and len(plan["selected"]) < plan["total"]
+        assert [
+            r["n"]
+            for r in t.read(where=[("url", "=", "site1/page4")]).collect()
+        ] == [4]
+
+    def test_concurrent_commit_conflict_detected(self, spark, tmp_path):
+        import pytest as _pt
+
+        from google_like_search_engine_spark.sources.versioned import (
+            CommitConflictError,
+            VersionedTable,
+        )
+
+        t = self._vt(spark, tmp_path, "vt_conflict")
+        t.write_snapshot(
+            spark.createDataFrame([(1, "base")], "id long, v string")
+        )
+        # writer A captures its base, writer B commits in between
+        base, _ = t._load()
+        other = VersionedTable(spark, t.path)
+        other.write_snapshot(
+            spark.createDataFrame([(1, "winner")], "id long, v string")
+        )
+        with _pt.raises(CommitConflictError, match="re-read"):
+            t.write_snapshot(
+                spark.createDataFrame([(1, "loser")], "id long, v string"),
+                expected_base=base,
+            )
+        # the winning writer's state survives untouched
+        assert [r["v"] for r in t.read().collect()] == ["winner"]
+
+    def test_merge_into_lost_update_is_refused(self, spark, tmp_path):
+        import pytest as _pt
+
+        from google_like_search_engine_spark.sources.versioned import (
+            CommitConflictError,
+            VersionedTable,
+        )
+
+        t = self._vt(spark, tmp_path, "vt_lostupd")
+        t.write_snapshot(
+            spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        )
+        delta = spark.createDataFrame([(2, "b2")], "id long, v string")
+        # interleave a competing commit inside merge_into's read->commit
+        # window by racing the data write step
+        orig = VersionedTable.write_snapshot
+
+        def racing_write(self, df, **kw):
+            if kw.get("expected_base") is not None and not getattr(
+                self, "_raced", False
+            ):
+                self._raced = True
+                VersionedTable(self.spark, self.path).write_snapshot(
+                    self.spark.createDataFrame(
+                        [(3, "concurrent")], "id long, v string"
+                    )
+                )
+            return orig(self, df, **kw)
+
+        VersionedTable.write_snapshot = racing_write
+        try:
+            with _pt.raises(CommitConflictError):
+                t.merge_into(delta, key="id")
+        finally:
+            VersionedTable.write_snapshot = orig
+        # the concurrent writer's snapshot is intact and current
+        assert {r["v"] for r in t.read().collect()} == {"concurrent"}
