@@ -148,28 +148,41 @@ def train_centroids(
     return cents
 
 
-def add_ivf_key(emb: DataFrame, centroids: list, vec_col: str = "embedding") -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast centroids,
-    JVM-side distance): adds ``ivf_key`` int."""
-    best_key = None
-    best_dist = None
+def _sq_dist(col, lit_arr):
+    return F.aggregate(
+        F.zip_with(
+            col,
+            lit_arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def add_ivf_key(
+    emb: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroid
+    literals, JVM-side distance): adds ``ivf_key`` int.
+
+    argmin is expressed as array_min over (dist, index) structs —
+    lexicographic struct ordering gives lowest-index tiebreak and keeps
+    the expression tree linear in the centroid count (a when-chain
+    doubles per centroid). ``round_to`` rounds each squared distance
+    before the argmin so the assignment can be replayed bit-stably by
+    an external SQL engine (oracle checking); None keeps full floats."""
+    entries = []
     for ci, c in enumerate(centroids):
-        dist = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                _lit_vec(c),
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        if best_key is None:
-            best_key, best_dist = F.lit(ci), dist
-        else:
-            cond = dist < best_dist
-            best_key = F.when(cond, F.lit(ci)).otherwise(best_key)
-            best_dist = F.when(cond, dist).otherwise(best_dist)
-    return emb.withColumn("ivf_key", best_key.cast("int"))
+        dist = _sq_dist(F.col(vec_col), _lit_vec(c))
+        if round_to is not None:
+            dist = F.round(dist, round_to)
+        entries.append(F.struct(dist.alias("d"), F.lit(ci).alias("c")))
+    best = F.array_min(F.array(*entries))
+    return emb.withColumn("ivf_key", best["c"].cast("int"))
 
 
 def ivf_topk(
@@ -191,3 +204,54 @@ def ivf_topk(
     probe = dists[:nprobe]
     cand = emb_with_ivf.where(F.col("ivf_key").isin(probe))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def probe_cells(query_vec, centroids: list, nprobe: int, round_to: int | None = None):
+    """The nprobe nearest centroid indexes for a query (driver-side —
+    the centroid table is tiny by construction). ``round_to`` mirrors
+    add_ivf_key's rounding; ties break to the lowest centroid index."""
+    qd = []
+    for ci, c in enumerate(centroids):
+        d = sum((float(a) - float(b)) ** 2 for a, b in zip(query_vec, c))
+        qd.append(((round(d, round_to) if round_to is not None else d), ci))
+    return [ci for _, ci in sorted(qd)[:nprobe]]
+
+
+def ivf_topk_ranked(
+    emb_with_ivf: DataFrame,
+    query_vec,
+    centroids: list,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 4,
+    dist_round: int = 6,
+) -> DataFrame:
+    """IVF ANN top-k in deterministic, oracle-checkable form: probe the
+    ``nprobe`` nearest centroid lists (rounded distance, lowest-index
+    tiebreak), exact cosine inside the probed lists, then rank by
+    (round(cos, round_to) DESC, id ASC) and keep rank <= k.
+
+    Unlike ivf_topk's orderBy+limit this never orders a LIMIT by raw
+    floats — the rounded score + total id tiebreak make the selected
+    set and the rank column reproducible across engines. Output:
+    (id, cell, cos_sim, rnk)."""
+    from pyspark.sql import Window
+
+    probe = probe_cells(query_vec, centroids, nprobe, round_to=dist_round)
+    cand = emb_with_ivf.where(F.col("ivf_key").isin(probe))
+    q = _lit_vec(query_vec)
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec)) or 1.0
+    scored = cand.select(
+        F.col(id_col),
+        F.col("ivf_key").alias("cell"),
+        F.round(
+            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn)), round_to
+        ).alias("cos_sim"),
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+    )

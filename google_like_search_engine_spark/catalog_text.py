@@ -814,6 +814,73 @@ GROUP BY u.vec_id
 """
 
 
+IVF_N_CENTROIDS = 8
+IVF_QUERY_ID = 100
+IVF_NPROBE = 2
+IVF_TOPK_K = 10
+
+
+def ivf_ann_topk(spark, sf_dir):
+    """IVF approximate-nearest-neighbor top-k — the similarity-search
+    SCALE path (vs cosine_scores' brute force): a coarse quantizer
+    assigns every vector to its nearest centroid list, the query probes
+    only the nprobe nearest lists, and exact cosine runs inside those
+    lists. At 100 TB the lists are the partitioning key, so a probe is
+    a partition-pruned scan of nprobe/K of the corpus.
+
+    Oracle-checkable determinism: centroids are the IVF_N_CENTROIDS
+    lowest-vec_id embeddings (no RNG, no k-means iterations — DuckDB
+    replays them as `WHERE vec_id < K`), assignment uses round(d2, 6)
+    with lowest-centroid tiebreak, and ranking is (round(cos, 4) DESC,
+    vec_id ASC) — no float-ordered LIMIT. Scripts-side margin scan:
+    the closest any squared distance sits to a round-6 boundary is
+    4.9e-11 and any candidate cosine to a round-4 boundary is 5.6e-8
+    at both test SFs, orders of magnitude above cross-engine summation
+    error, so the assignment/probe/rank decisions are engine-stable."""
+    from .analytics import simsearch
+
+    emb = load(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.where(F.col("vec_id") < IVF_N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cents = [[float(x) for x in r[1]] for r in rows]
+    qv = emb.where(F.col("vec_id") == IVF_QUERY_ID).select("embedding").collect()[0][0]
+    keyed = simsearch.add_ivf_key(emb, cents, round_to=6)
+    return simsearch.ivf_topk_ranked(
+        keyed, qv, cents, k=IVF_TOPK_K, nprobe=IVF_NPROBE
+    )
+
+
+IVF_ANN_TOPK_SQL = f"""
+WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+cent AS (SELECT vec_id AS c, pos, x FROM u WHERE vec_id < {IVF_N_CENTROIDS}),
+d2 AS (SELECT u.vec_id, cent.c,
+              round(sum((u.x - cent.x) * (u.x - cent.x)), 6) AS d2
+       FROM u JOIN cent ON u.pos = cent.pos
+       GROUP BY u.vec_id, cent.c),
+assign AS (SELECT vec_id, c AS cell FROM d2
+           QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) = 1),
+probe AS (SELECT c FROM d2 WHERE vec_id = {IVF_QUERY_ID}
+          QUALIFY row_number() OVER (ORDER BY d2, c) <= {IVF_NPROBE}),
+qv AS (SELECT pos, x AS qx FROM u WHERE vec_id = {IVF_QUERY_ID}),
+qn AS (SELECT sqrt(sum(qx * qx)) AS qn FROM qv),
+cand AS (SELECT a.vec_id, a.cell FROM assign a JOIN probe p ON a.cell = p.c),
+cos AS (SELECT cand.vec_id, CAST(cand.cell AS INT) AS cell,
+               round(sum(u.x * qv.qx) / (sqrt(sum(u.x * u.x)) * qn.qn), 4)
+                 AS cos_sim
+        FROM cand JOIN u ON u.vec_id = cand.vec_id
+        JOIN qv ON qv.pos = u.pos, qn
+        GROUP BY cand.vec_id, cand.cell, qn.qn)
+SELECT vec_id, cell, cos_sim, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk FROM cos)
+WHERE rnk <= {IVF_TOPK_K}
+"""
+
+
 PROXIMITY = ("table", "scan")
 PROXIMITY_WINDOW = 5
 

@@ -603,6 +603,7 @@ EXTRA_ORACLE_QUERIES["search_snippets"] = (
     t.search_snippets,
     t.SEARCH_SNIPPETS_SQL,
 )
+EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)

@@ -100,6 +100,27 @@ def test_ivf_topk_self_retrieval(spark):
     keyed.unpersist()
 
 
+def test_ivf_topk_ranked_deterministic(spark):
+    import random
+
+    rng = random.Random(11)
+    dim = 8
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = [[float(x) for x in rows[i][1]] for i in range(4)]
+    keyed = simsearch.add_ivf_key(emb, cents, round_to=6).cache()
+    q = rows[42][1]
+    got = simsearch.ivf_topk_ranked(keyed, q, cents, k=5, nprobe=2).collect()
+    assert [r["rnk"] for r in got] == [1, 2, 3, 4, 5]
+    assert got[0]["vec_id"] == 42 and got[0]["cos_sim"] == 1.0
+    # scores are rounded and non-increasing; cells restricted to probes
+    probes = set(simsearch.probe_cells(q, cents, 2, round_to=6))
+    assert all(r["cell"] in probes for r in got)
+    sims = [r["cos_sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    keyed.unpersist()
+
+
 def test_lang_scores(spark):
     rows = [
         (0, "the cat and the dog are running and jumping the fence"),
