@@ -628,6 +628,7 @@ class SearchEngine:
         }
 
     def load(self, path: str, with_pageranks: bool = True) -> "SearchEngine":
+        self._loaded_path = path
         self.postings = self.spark.read.parquet(f"{path}/postings").persist()
         self.doc_stats = self.spark.read.parquet(f"{path}/doc_stats").persist()
         self.total_documents = self.doc_stats.count()
@@ -817,6 +818,59 @@ class SearchEngine:
             .orderBy(F.desc("score"), F.asc("url"))
             .limit(k)
         )
+
+    def serving_clone(self) -> "SearchEngine":
+        """A SearchEngine bound to a DEDICATED serving SparkSession —
+        ``spark.newSession()`` shares the SparkContext and the cache
+        manager but owns its SQL conf — with the low-latency conf
+        (AQE off, shuffle.partitions=8) applied once at construction.
+        Request handlers use the clone directly, so nothing mutates
+        session conf at query time, concurrent requests need no lock,
+        and the parent session keeps its batch conf for index builds.
+
+        State is re-bound under the serving session without caching
+        anything twice: path-loaded relations are re-read (identical
+        plans resolve to the parent's persisted data via the shared
+        CacheManager), in-memory relations of a built-not-saved engine
+        are re-bound through global temp views (the view body is the
+        parent's plan; reading it from the serving session yields a
+        DataFrame that EXECUTES under serving conf), and plain-Python
+        sidecars (term dictionary, doc_index->url dicts) are shared by
+        reference. Blocked-index handles are prewarmed for every path
+        the parent had open.
+
+        The clone is a point-in-time binding: after merge_pages /
+        save_blocked on the parent, build a fresh clone."""
+        serving = self.spark.newSession()
+        serving.conf.set("spark.sql.adaptive.enabled", "false")
+        serving.conf.set("spark.sql.shuffle.partitions", "8")
+        clone = SearchEngine(serving)
+
+        def rebind(df: DataFrame | None, name: str) -> DataFrame | None:
+            if df is None:
+                return None
+            view = f"sg_serving_{id(self)}_{name}"
+            df.createOrReplaceGlobalTempView(view)
+            return serving.table(f"global_temp.{view}")
+
+        if getattr(self, "_loaded_path", None):
+            clone.load(self._loaded_path, with_pageranks=self.pageranks is not None)
+        elif self.postings is not None:
+            clone.postings = rebind(self.postings, "postings")
+            clone.doc_stats = rebind(self.doc_stats, "doc_stats")
+            clone.term_df = rebind(self.term_df, "term_df")
+            clone.pageranks = rebind(self.pageranks, "pageranks")
+            clone.total_documents = self.total_documents
+            clone._avgdl = self._avgdl
+        if getattr(self, "_served", None) is not None:
+            clone._served = rebind(self._served, "served")
+            clone._dict = self._dict
+        for path in tuple(getattr(self, "_blocked_cache", None) or ()):
+            clone._blocked_handles(path)
+        dicts = getattr(self, "_blocked_url_dicts", None)
+        if dicts:
+            clone._blocked_url_dicts = dicts
+        return clone
 
     def low_latency(self):
         """Conf scope for interactive serving queries: disables AQE

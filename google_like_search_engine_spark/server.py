@@ -103,17 +103,15 @@ def make_server(
       GET /threshold?query=a+b&threshold=1.5  all docs scoring >= cutoff
       GET /stats                           metadata-only index report
     """
-    import threading
-
-    # Serializes the serving conf scope: SQL conf is per-SESSION, so
-    # under ThreadingHTTPServer two overlapping requests toggling
-    # low_latency() would race — one could restore the other's
-    # overrides mid-query and leave the session permanently in serving
-    # conf for later batch work. The lock makes scope+query atomic
-    # (queries here are single sub-second jobs; a production deployment
-    # gives the serving path a dedicated SparkSession instead and
-    # drops both the toggle and the lock).
-    conf_lock = threading.Lock()
+    # Bind all request handling to a DEDICATED serving SparkSession
+    # (engine.serving_clone): same SparkContext + shared cache, its own
+    # SQL conf with the low-latency settings applied once. Requests
+    # never mutate shared session conf, so overlapping requests under
+    # ThreadingHTTPServer need no lock, and batch work on the caller's
+    # engine keeps its batch conf. (Earlier rounds toggled the shared
+    # session's conf per request under a lock — the lock serialized all
+    # query execution; the clone removes both.)
+    engine = engine.serving_clone()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet: the driver log is enough
@@ -140,8 +138,7 @@ def make_server(
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             try:
-                with conf_lock, engine.low_latency():
-                    self._dispatch(u, q)
+                self._dispatch(u, q)
             except Exception as exc:  # surface engine errors as 500 JSON
                 self._json(500, {"error": str(exc)})
 

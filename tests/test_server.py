@@ -51,6 +51,39 @@ def test_search_matches_engine(base_url, engine):
     assert [(r["url"], r["score"]) for r in body["results"]] == direct
 
 
+def test_serving_clone_conf_isolated(engine, spark):
+    """serving_clone owns its SQL conf (AQE off, small shuffle) while
+    the parent session's batch conf is untouched, and the rebound
+    relations score identically."""
+    clone = engine.serving_clone()
+    assert clone.spark is not engine.spark
+    assert clone.spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert clone.spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.adaptive.enabled") != "false"
+    direct = engine.search_bm25_served("search engine index", k=5).collect()
+    cloned = clone.search_bm25_served("search engine index", k=5).collect()
+    assert [(r["url"], r["score"]) for r in direct] == [
+        (r["url"], r["score"]) for r in cloned
+    ]
+
+
+def test_serving_clone_from_loaded_engine(engine, spark, tmp_path_factory):
+    """The path-loaded branch: the clone re-reads the same files under
+    its own session (shared cache, no second copy) and serves the
+    identical join-path ranking."""
+    path = str(tmp_path_factory.mktemp("clone_idx") / "idx")
+    engine.save(path)
+    loaded = SearchEngine(spark).load(path, with_pageranks=False)
+    clone = loaded.serving_clone()
+    assert clone.spark is not loaded.spark
+    a = loaded.search_bm25("search engine", k=5).collect()
+    b = clone.search_bm25("search engine", k=5).collect()
+    assert [(r["url"], r["score"]) for r in a] == [
+        (r["url"], r["score"]) for r in b
+    ]
+    loaded.unpersist()
+
+
 def test_autocomplete_served_from_dictionary(base_url, engine):
     code, body = _get(f"{base_url}/autocomplete?prefix=se&k=5")
     assert code == 200
