@@ -70,6 +70,9 @@ PART_COL = "_part"
 #: predicate operators understood by ``read(where=...)``
 _OPS = ("=", "<", "<=", ">", ">=")
 
+#: sentinel: "keep the current snapshot's partition spec / stats profile"
+INHERIT = object()
+
 
 class CommitConflictError(RuntimeError):
     """Another writer committed since this operation read its base
@@ -297,8 +300,8 @@ class VersionedTable:
     def write_snapshot(
         self,
         df: DataFrame,
-        stats_cols=None,
-        partition_by: tuple | None = None,
+        stats_cols=INHERIT,
+        partition_by: tuple | None = INHERIT,
         expected_base: int | None = None,
     ) -> int:
         """Full-table overwrite as a NEW snapshot; readers of older
@@ -317,7 +320,13 @@ class VersionedTable:
         ``expected_base``: manifest sequence this write logically
         depends on (captured by ``merge_into``/``delete_where`` before
         they read the current rows); a concurrent commit in between
-        raises :class:`CommitConflictError` instead of losing it."""
+        raises :class:`CommitConflictError` instead of losing it.
+
+        Both ``stats_cols`` and ``partition_by`` default to INHERIT:
+        like Iceberg, the partition spec and stats profile are table
+        metadata that persist across snapshots, so merge_into /
+        delete_where / compact_files keep the current layout without
+        restating it. Pass ``None`` explicitly to drop either."""
         seq, m = self._load()
         if expected_base is not None and seq != expected_base:
             raise CommitConflictError(
@@ -325,6 +334,16 @@ class VersionedTable:
                 "re-read and retry"
             )
         base_seq = seq if expected_base is None else expected_base
+        cur_meta = (
+            m.get("meta", {}).get(str(m["current"])) or {}
+            if m["current"] is not None
+            else {}
+        )
+        if partition_by is INHERIT:
+            s = cur_meta.get("partition_spec")
+            partition_by = (s["transform"], s["source"], s["arg"]) if s else None
+        if stats_cols is INHERIT:
+            stats_cols = cur_meta.get("stats_cols")
         snap = 0 if m["current"] is None else m["current"] + 1
         snap_dir = f"{self.path}/snap={snap}"
         spec = None
@@ -342,6 +361,7 @@ class VersionedTable:
         try:
             m.setdefault("meta", {})[str(snap)] = {
                 "partition_spec": spec,
+                "stats_cols": list(stats_cols) if stats_cols else None,
                 "files": self._file_meta(snap_dir, stats_cols),
             }
             m["current"] = snap
@@ -524,6 +544,59 @@ class VersionedTable:
         base, _ = self._load()
         cur = self.read()
         return self.write_snapshot(cur.where(~condition), expected_base=base)
+
+    def compact_files(self, target_file_rows: int = 1_000_000) -> dict:
+        """Iceberg ``rewrite_data_files`` analog: rewrite the CURRENT
+        snapshot's data into right-sized files as a NEW snapshot with
+        identical rows. Streaming/incremental writers leave many small
+        files (each availableNow drain, each merge_into); at scale the
+        per-file open cost and statless tiny row groups dominate scan
+        time, so periodic compaction is what keeps a 10^12-doc table
+        scannable. Readers pinned to older snapshots are untouched;
+        ``expire_snapshots`` later reclaims the small-file originals.
+
+        Layout: file count = ceil(rows / target_file_rows). With a
+        stats profile the data is range-repartitioned on the first
+        stats column, so compacted files carry tight DISJOINT min/max
+        ranges — compaction improves ``read(where=)`` pruning instead
+        of destroying it. With a hidden-partition spec rows are
+        clustered by the derived key so each partition value lands in
+        few files. Commit is conflict-checked: losing a race to a
+        concurrent writer raises CommitConflictError (the rewrite
+        would resurrect rows the winner deleted).
+
+        Returns ``{"snapshot", "files_before", "files_after", "rows"}``.
+        """
+        seq, m = self._load()
+        if m["current"] is None:
+            raise ValueError(f"{self.path}: nothing to compact")
+        meta = m.get("meta", {}).get(str(m["current"])) or {}
+        files = meta.get("files") or []
+        spec = meta.get("partition_spec")
+        stats_cols = meta.get("stats_cols")
+        rows = (
+            sum(f["rows"] for f in files)
+            if files and all(f.get("rows") is not None for f in files)
+            else None
+        )
+        df = self.read()
+        if rows is None:
+            rows = df.count()
+        n = max(1, -(-rows // target_file_rows))
+        if stats_cols:
+            df = df.repartitionByRange(n, F.col(stats_cols[0]))
+        elif spec is not None:
+            df = df.repartition(n, self._part_expr(spec))
+        else:
+            df = df.repartition(n)
+        snap = self.write_snapshot(df, expected_base=seq)
+        after = self._read_manifest()["meta"][str(snap)]["files"]
+        return {
+            "snapshot": snap,
+            "files_before": len(files),
+            "files_after": len(after),
+            "rows": rows,
+        }
 
     def expire_snapshots(self, keep_last: int = 2) -> list:
         """Drop all but the newest ``keep_last`` snapshots (data dirs

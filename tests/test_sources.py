@@ -233,6 +233,57 @@ class TestVersionedTableV3:
             for r in t.read(where=[("url", "=", "site1/page4")]).collect()
         ] == [4]
 
+    def test_compact_files_rewrites_small_files(self, spark, tmp_path):
+        t = self._vt(spark, tmp_path, "vt_compact")
+        df = spark.createDataFrame(
+            [(i, f"r{i}") for i in range(200)], "id long, v string"
+        ).repartition(16)
+        t.write_snapshot(df, stats_cols=["id"])
+        assert t.plan_files([("id", ">=", 0)])["total"] == 16
+        res = t.compact_files(target_file_rows=100)
+        assert res["files_before"] == 16 and res["files_after"] == 2
+        assert res["rows"] == 200 and res["snapshot"] == 1
+        assert sorted(r["id"] for r in t.read().collect()) == list(range(200))
+        # the small-file original is still time-travelable
+        assert t.read(version=0).count() == 200
+        # range layout -> disjoint per-file stats -> point lookup opens 1 file
+        plan = t.plan_files([("id", "=", 7)])
+        assert plan["total"] == 2 and len(plan["selected"]) == 1
+
+    def test_merge_into_inherits_partition_spec_and_stats(
+        self, spark, tmp_path
+    ):
+        t = self._vt(spark, tmp_path, "vt_inherit")
+        t.write_snapshot(
+            spark.createDataFrame(
+                [(i, f"d{i}") for i in range(40)], "doc_id long, body string"
+            ),
+            partition_by=("mod", "doc_id", 4),
+            stats_cols=["doc_id"],
+        )
+        t.merge_into(
+            spark.createDataFrame(
+                [(6, "NEW"), (99, "ins")], "doc_id long, body string"
+            ),
+            "doc_id",
+        )
+        # the merged snapshot kept the hidden-partition layout + stats
+        plan = t.plan_files([("doc_id", "=", 6)])
+        assert plan["partition_pruned"]
+        assert len(plan["selected"]) < plan["total"]
+        assert [
+            r["body"] for r in t.read(where=[("doc_id", "=", 6)]).collect()
+        ] == ["NEW"]
+        assert t.read().count() == 41
+        # compaction on a partitioned table keeps the spec working too
+        t.compact_files(target_file_rows=1000)
+        plan2 = t.plan_files([("doc_id", "=", 6)])
+        assert plan2["partition_pruned"]
+        # explicit None drops the inherited spec (back to unpartitioned)
+        t.write_snapshot(t.read(), partition_by=None, stats_cols=None)
+        m = t._read_manifest()
+        assert m["meta"][str(m["current"])]["partition_spec"] is None
+
     def test_concurrent_commit_conflict_detected(self, spark, tmp_path):
         import pytest as _pt
 
