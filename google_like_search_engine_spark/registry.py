@@ -603,6 +603,83 @@ EXTRA_ORACLE_QUERIES["search_snippets"] = (
     t.search_snippets,
     t.SEARCH_SNIPPETS_SQL,
 )
+PAGERANK_FIXED_ITERS = 5
+
+
+def _pagerank_fixed_iters(spark, sf_dir):
+    """The ITERATIVE PageRank job itself, oracle-checked: exactly
+    PAGERANK_FIXED_ITERS power iterations (threshold=-1 disables both
+    convergence exits) over the same deterministic synthetic graph as
+    pagerank_docs (i -> (2i+7) mod N, i -> (3i+11) mod N). DuckDB
+    replays the loop as a recursive CTE over an expand relation:
+    one keep-alive row per vertex (NULL weight, so sum() ignores it
+    and an inbound-less vertex lands on 0.15 — the source term) plus
+    one weighted row per edge (1/outdeg). On this graph every dst is
+    a vertex, so the reference's dangling-target drop is trivially
+    satisfied on both sides.
+
+    Determinism: scripts-side margin scan puts the closest 5-iteration
+    rank to a round-4 boundary at 2.15e-7, and the worst cross-engine
+    association difference (damping inside vs outside the sum) at
+    6.7e-16 — eight orders of magnitude of headroom."""
+    from .pagerank import pagerank
+
+    docs = c.load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("i"))
+    edges = (
+        ids.select(
+            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * 3 + 11) % n).alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank(
+        docs, edges, threshold=-1.0, max_iterations=PAGERANK_FIXED_ITERS
+    )
+    return ranks.select("doc_id", F.round("rank", 4).alias("rank"))
+
+
+PAGERANK_FIXED_ITERS_SQL = f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
+    UNION ALL
+    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
+  ) WHERE src <> dst
+),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+expand AS (
+  SELECT i AS src, i AS tgt, CAST(NULL AS DOUBLE) AS w FROM ids
+  UNION ALL
+  SELECT e.src, e.dst, 1.0 / o.outdeg FROM edges e JOIN outdeg o USING (src)
+),
+pr AS (
+  SELECT 0 AS iter, i AS doc_id, CAST(1.0 AS DOUBLE) AS rank FROM ids
+  UNION ALL
+  SELECT p.iter + 1, x.tgt, 0.15 + 0.85 * coalesce(sum(p.rank * x.w), 0.0)
+  FROM pr p JOIN expand x ON x.src = p.doc_id
+  WHERE p.iter < {PAGERANK_FIXED_ITERS}
+  GROUP BY p.iter + 1, x.tgt
+)
+SELECT doc_id, round(rank, 4) AS rank FROM pr
+WHERE iter = {PAGERANK_FIXED_ITERS}
+"""
+
+
+EXTRA_ORACLE_QUERIES["pagerank_fixed_iters"] = (
+    _pagerank_fixed_iters,
+    PAGERANK_FIXED_ITERS_SQL,
+)
 EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
