@@ -139,3 +139,39 @@ def pagerank(
 
 def pagerank_from_pages(pages: DataFrame, **kw) -> DataFrame:
     return pagerank(vertices_from_pages(pages), extract_edges(pages), **kw)
+
+
+def bfs_depths(seeds: DataFrame, edges: DataFrame, max_depth: int) -> DataFrame:
+    """Frontier-expansion BFS — the crawler's traversal core in pure
+    graph form (crawler.py runs the same loop with fetch/robots
+    semantics attached; Crawler.java's frontier rounds). Returns
+    (doc_id, depth): the shortest hop count from any seed, bounded by
+    ``max_depth``; unreached vertices are absent.
+
+    Each round is one equi-join (edges x frontier, keyed on src) plus
+    one anti-join against the visited set — both shuffle on the
+    frontier key only, so a round costs O(frontier out-edges), not
+    O(graph). The frontier is localCheckpoint-ed per round to truncate
+    lineage (a checkpoint dir on a real cluster), and the loop exits
+    early when a round discovers nothing new.
+    """
+    visited = seeds.select(
+        "doc_id", F.lit(0).alias("depth")
+    ).localCheckpoint()
+    frontier = visited
+    for d in range(1, max_depth + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("doc_id").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(d).alias("depth"))
+            .localCheckpoint()
+        )
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

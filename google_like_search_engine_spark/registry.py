@@ -680,6 +680,66 @@ EXTRA_ORACLE_QUERIES["pagerank_fixed_iters"] = (
     _pagerank_fixed_iters,
     PAGERANK_FIXED_ITERS_SQL,
 )
+
+BFS_MAX_DEPTH = 8
+
+
+def _crawl_frontier_bfs(spark, sf_dir):
+    """The crawler's frontier-expansion traversal, oracle-checked in
+    pure-graph form (the crawl_bfs gate entry keeps the full
+    fetch/robots/redirect semantics and stays rows-only): shortest hop
+    count from seed doc 0 over the synthetic link graph, depth-bounded.
+    All-integer output, so there is no float determinism question; the
+    oracle enumerates paths recursively (511 rows at depth 8, outdeg
+    <= 2) and takes min(depth) per vertex == first-visit BFS depth."""
+    from .pagerank import bfs_depths
+
+    docs = c.load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("i"))
+    edges = (
+        ids.select(
+            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * 3 + 11) % n).alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    seeds = docs.where(F.col("doc_id") == 0)
+    return bfs_depths(seeds, edges, max_depth=BFS_MAX_DEPTH)
+
+
+CRAWL_FRONTIER_BFS_SQL = f"""
+WITH RECURSIVE
+ids AS (SELECT doc_id AS i FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
+    UNION ALL
+    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
+  ) WHERE src <> dst
+),
+walk AS (
+  SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
+  UNION ALL
+  SELECT e.dst, w.depth + 1
+  FROM walk w JOIN edges e ON e.src = w.doc_id
+  WHERE w.depth < {BFS_MAX_DEPTH}
+)
+SELECT doc_id, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY doc_id
+"""
+
+
+EXTRA_ORACLE_QUERIES["crawl_frontier_bfs"] = (
+    _crawl_frontier_bfs,
+    CRAWL_FRONTIER_BFS_SQL,
+)
 EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)

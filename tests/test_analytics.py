@@ -121,6 +121,22 @@ def test_ivf_topk_ranked_deterministic(spark):
     keyed.unpersist()
 
 
+def test_bfs_depths_hand_graph(spark):
+    """Shortest-hop semantics on a graph with a shortcut, a cycle and
+    an unreachable island; the loop exits early once the frontier
+    drains (depth cap far above the diameter)."""
+    from google_like_search_engine_spark.pagerank import bfs_depths
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (3, 0), (7, 8)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "doc_id long")
+    got = {r["doc_id"]: r["depth"] for r in bfs_depths(seeds, edges, 50).collect()}
+    # 0->3 shortcut beats the 0->1->2->3 path; 7/8 unreachable
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
 def test_lang_scores(spark):
     rows = [
         (0, "the cat and the dog are running and jumping the fence"),
