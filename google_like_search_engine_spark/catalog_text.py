@@ -814,6 +814,43 @@ GROUP BY u.vec_id
 """
 
 
+SAMPLE_RATES = {"en": 500}
+SAMPLE_DEFAULT_RATE = 1000
+
+
+def dataset_split(spark, sf_dir):
+    """Reproducible train/val/test assignment + stratified downsample
+    over the documents table (analytics/curation.py): hash-bucket
+    splits (80/10/10) and a per-language keep decision (thin 'en', the
+    head language, to 50%; keep the rest) — the split/sample step of a
+    training-data pipeline, as a pure function of doc_id so engines
+    and re-runs agree row-by-row with no coordination."""
+    from .analytics.curation import split_assign, stratified_keep
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs = split_assign(docs, "doc_id")
+    return stratified_keep(
+        docs, "doc_id", "lang", SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    )
+
+
+DATASET_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15))
+           ::BIGINT % 1000 AS sb,
+         ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 15))
+           ::BIGINT % 1000 AS kb
+  FROM documents)
+SELECT doc_id, lang,
+       CASE WHEN sb < 800 THEN 'train'
+            WHEN sb < 900 THEN 'val'
+            ELSE 'test' END AS split,
+       kb < (CASE WHEN lang = 'en' THEN 500 ELSE 1000 END) AS keep
+FROM b
+"""
+
+
 IVF_N_CENTROIDS = 8
 IVF_QUERY_ID = 100
 IVF_NPROBE = 2

@@ -741,6 +741,7 @@ EXTRA_ORACLE_QUERIES["crawl_frontier_bfs"] = (
     CRAWL_FRONTIER_BFS_SQL,
 )
 EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
+EXTRA_ORACLE_QUERIES["dataset_split"] = (t.dataset_split, t.DATASET_SPLIT_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)

@@ -121,6 +121,35 @@ def test_ivf_topk_ranked_deterministic(spark):
     keyed.unpersist()
 
 
+def test_dataset_split_is_partitioning_invariant(spark):
+    """The whole point of hash-bucket splits: the assignment is a pure
+    function of the key, so repartitioned/reordered inputs (a backfill,
+    an incremental ingest) agree row-by-row — a seeded random() would
+    not."""
+    from google_like_search_engine_spark.analytics.curation import (
+        split_assign,
+        stratified_keep,
+    )
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    a = spark.createDataFrame(rows, "doc_id long, lang string")
+    b = spark.createDataFrame(list(reversed(rows)), "doc_id long, lang string").repartition(7)
+
+    def run(df):
+        df = split_assign(df, "doc_id")
+        df = stratified_keep(df, "doc_id", "lang", {"en": 300}, 1000)
+        return {r["doc_id"]: (r["split"], r["keep"]) for r in df.collect()}
+
+    ra, rb = run(a), run(b)
+    assert ra == rb
+    splits = [v[0] for v in ra.values()]
+    assert {"train", "val", "test"} == set(splits)
+    # en thinned hard, others untouched
+    en_keep = [v[1] for k, v in ra.items() if k % 3 == 0]
+    de_keep = [v[1] for k, v in ra.items() if k % 3 == 1]
+    assert all(de_keep) and 0 < sum(en_keep) < len(en_keep)
+
+
 def test_bfs_depths_hand_graph(spark):
     """Shortest-hop semantics on a graph with a shortcut, a cycle and
     an unreachable island; the loop exits early once the frontier
