@@ -1,5 +1,7 @@
 from .library import (
     anchor_links,
+    cjk_aware_postings,
+    cjk_bigram_tokens,
     clean_text,
     doc_hash,
     digit_boundary_tokens,
@@ -14,6 +16,8 @@ __all__ = [
     "stem_tokens",
     "clean_text",
     "anchor_links",
+    "cjk_aware_postings",
+    "cjk_bigram_tokens",
     "digit_boundary_tokens",
     "remove_stopwords",
 ]

@@ -106,6 +106,48 @@ def digit_boundary_tokens(col) -> Column:
     return F.slice(toks, F.lit(1), last)
 
 
+def cjk_bigram_tokens(col) -> Column:
+    """Language-aware token stream: runs of CJK ideographs segment
+    into overlapping character BIGRAMS (Lucene CJKAnalyzer's strategy
+    — dictionary-free and recall-safe for scripts written without
+    spaces), everything else tokenizes as lowercased alphanumeric
+    runs. Pure JVM (regexp_extract_all + transform/flatten), so the
+    analyzer stays inside whole-stage codegen at any corpus size —
+    no Python worker in the indexing hot path."""
+    c = F.col(col) if isinstance(col, str) else col
+    runs = F.regexp_extract_all(
+        c, F.lit("[一-鿿]+|[A-Za-z0-9]+"), 0
+    )
+
+    def seg(r):
+        is_cjk = r.rlike("^[一-鿿]")
+        bigrams = F.transform(
+            F.sequence(F.lit(1), F.length(r) - 1),
+            lambda i: r.substr(i, F.lit(2)),
+        )
+        return (
+            F.when(is_cjk & (F.length(r) > 1), bigrams)
+            .when(is_cjk, F.array(r))
+            .otherwise(F.array(F.lower(r)))
+        )
+
+    return F.flatten(F.transform(runs, seg))
+
+
+def cjk_aware_postings(docs) -> "DataFrame":
+    """Analyzer for ``SearchEngine.build(postings_fn=...)`` (the
+    pluggable-analyzer seam): (doc_id, url, term, tf) postings under
+    the CJK-bigram token stream, so mixed-script corpora index and
+    search correctly — a query in hanzi becomes the same bigrams at
+    query time via ``cjk_bigram_tokens`` on a literal."""
+    toks = docs.select(
+        "doc_id", "url", F.explode(cjk_bigram_tokens("text")).alias("term")
+    ).where(F.col("term") != "")
+    return toks.groupBy("doc_id", "url", "term").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+
+
 def remove_stopwords(col) -> Column:
     """Drop the reference's 127 stopwords from an array<string> column
     (order-preserving filter, not array_except which also dedupes)."""

@@ -60,3 +60,45 @@ def test_anchor_links_column(spark):
     )
     got = df.select(fn.anchor_links("content", "url").alias("l")).collect()[0]["l"]
     assert got == ["http://foo.com:80/b.html"]
+
+
+def test_cjk_bigram_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            ("我爱北京天安门 spark SQL 123abc",),
+            ("茶 tea",),
+            ("no cjk here",),
+        ],
+        "text string",
+    )
+    got = [r["t"] for r in df.select(fn.cjk_bigram_tokens("text").alias("t")).collect()]
+    assert got[0] == ["我爱", "爱北", "北京", "京天", "天安", "安门", "spark", "sql", "123abc"]
+    # single ideograph stays a unigram; latin lowercases
+    assert got[1] == ["茶", "tea"]
+    assert got[2] == ["no", "cjk", "here"]
+
+
+def test_cjk_aware_postings_end_to_end(spark):
+    """The pluggable-analyzer seam with the CJK analyzer: hanzi
+    queries match bigram terms through the normal BM25 path."""
+    from google_like_search_engine_spark.engine import SearchEngine
+
+    pages = spark.createDataFrame(
+        [
+            ("http://a.example.com:80/1.html", "北京欢迎你 welcome to beijing"),
+            ("http://a.example.com:80/2.html", "上海天气 weather report shanghai"),
+            ("http://a.example.com:80/3.html", "plain english page about spark"),
+        ],
+        "url string, text string",
+    )
+    eng = SearchEngine(spark).build(
+        pages, run_pagerank=False, postings_fn=fn.cjk_aware_postings
+    )
+    hits = eng.search_bm25("北京", k=3).collect()
+    assert len(hits) == 1 and hits[0]["url"].endswith("/1.html")
+    hits2 = eng.search_bm25("天气", k=3).collect()
+    assert len(hits2) == 1 and hits2[0]["url"].endswith("/2.html")
+    # latin terms still work under the same analyzer
+    hits3 = eng.search_bm25("spark", k=3).collect()
+    assert len(hits3) == 1 and hits3[0]["url"].endswith("/3.html")
+    eng.unpersist()
