@@ -128,6 +128,40 @@ def main():
         ("whole-stage codegen", has("[codegen id :")),
     ])
 
+    # dataset split/sample: the whole hash-bucket expression is JVM
+    # built-ins — one codegen stage over the scan, 2 columns read
+    audit("dataset_split", t.dataset_split(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+        ("columns pruned at scan",
+         lambda p: "doc_id" in p.split("ReadSchema")[1][:200]
+         and "text" not in p.split("ReadSchema")[1][:200]),
+        ("no shuffle", not_has("Exchange")),
+    ])
+
+    # IVF ANN: centroid assignment + scoring are array built-ins; the
+    # probe filter on the centroid key stays JVM-side
+    audit("ivf_ann_topk", t.ivf_ann_topk(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("embeddings scan pruned",
+         lambda p: "embedding" in p.split("ReadSchema")[1][:200]
+         and "label" not in p.split("ReadSchema")[1][:200]),
+    ])
+
+    # CJK analyzer: regexp/transform tokenization without a python
+    # worker — the multilingual indexing path stays in codegen
+    from google_like_search_engine_spark import functions as fn
+
+    cjk = fn.cjk_aware_postings(
+        c.load(spark, sf_dir, "documents").select(
+            "doc_id", F.col("doc_id").cast("string").alias("url"), "text"
+        )
+    )
+    audit("cjk_aware_postings", cjk, [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
     out_path = os.path.join(REPO, "BENCH", "plan_audit_round5.txt")
     failed = 0
     with open(out_path, "w") as f:
