@@ -658,9 +658,20 @@ class SearchEngine:
         )
         return res.limit(k) if k else res
 
-    def search_bm25(self, query: str, k: int = 10, pruned: bool = False) -> DataFrame:
+    def search_bm25(
+        self,
+        query: str,
+        k: int = 10,
+        pruned: bool = False,
+        analyzer=None,
+    ) -> DataFrame:
         """BM25 top-k; ``pruned=True`` routes through the MaxScore plan
-        (identical scores, skips non-essential posting scans)."""
+        (identical scores, skips non-essential posting scans).
+
+        ``analyzer``: query-side half of the pluggable-analyzer seam —
+        a ``str -> list[str]`` callable producing the same terms the
+        index's postings_fn emits (e.g. functions.cjk_query_terms for
+        an index built with cjk_aware_postings)."""
         assert self.postings is not None, "build or load first"
         if pruned:
             return maxscore_topk(
@@ -670,6 +681,7 @@ class SearchEngine:
         return score_bm25(
             self.spark, query, self.postings, self.doc_stats,
             self.total_documents, avgdl=self._avgdl, term_df=self.term_df,
+            terms=analyzer(query) if analyzer is not None else None,
         ).limit(k)
 
     def autocomplete(self, prefix: str, k: int = 10) -> DataFrame:

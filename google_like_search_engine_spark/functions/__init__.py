@@ -2,6 +2,7 @@ from .library import (
     anchor_links,
     cjk_aware_postings,
     cjk_bigram_tokens,
+    cjk_query_terms,
     clean_text,
     doc_hash,
     digit_boundary_tokens,
@@ -18,6 +19,7 @@ __all__ = [
     "anchor_links",
     "cjk_aware_postings",
     "cjk_bigram_tokens",
+    "cjk_query_terms",
     "digit_boundary_tokens",
     "remove_stopwords",
 ]

@@ -134,6 +134,30 @@ def cjk_bigram_tokens(col) -> Column:
     return F.flatten(F.transform(runs, seg))
 
 
+_CJK_RUN_RE = None
+
+
+def cjk_query_terms(query: str) -> list:
+    """Driver-side twin of ``cjk_bigram_tokens`` for analyzing a query
+    LITERAL (same runs, same bigrams, same lowercasing) — pass as
+    ``SearchEngine.search_bm25(analyzer=...)`` so query analysis
+    matches an index built with ``cjk_aware_postings``."""
+    global _CJK_RUN_RE
+    if _CJK_RUN_RE is None:
+        import re
+
+        _CJK_RUN_RE = re.compile("[一-鿿]+|[A-Za-z0-9]+")
+    out = []
+    for run in _CJK_RUN_RE.findall(query or ""):
+        if "一" <= run[0] <= "鿿":
+            out.extend(
+                [run[i : i + 2] for i in range(len(run) - 1)] or [run]
+            )
+        else:
+            out.append(run.lower())
+    return out
+
+
 def cjk_aware_postings(docs) -> "DataFrame":
     """Analyzer for ``SearchEngine.build(postings_fn=...)`` (the
     pluggable-analyzer seam): (doc_id, url, term, tf) postings under

@@ -112,8 +112,14 @@ def score_bm25(
     use_stems: bool = True,
     avgdl: float | None = None,
     term_df: DataFrame | None = None,
+    terms: list | None = None,
 ) -> DataFrame:
     """BM25 top-k scoring; returns (url, score) ordered desc.
+
+    ``terms``: pre-analyzed query terms — the query-side half of the
+    pluggable-analyzer seam (an index built with a custom postings_fn
+    must analyze queries the same way, e.g. CJK bigrams); bypasses the
+    default expand_query/split tokenization.
 
     dl = per-document term-entry count (sum tf over the doc's terms,
     raw+stem — consistent between index and query side); df counted on
@@ -125,7 +131,12 @@ def score_bm25(
     dictionary table (term, df) from build time — each removes one
     aggregation job per query (a real engine's dictionary stores df).
     """
-    words = sorted({w.lower() for w in (expand_query(query) if use_stems else query.split())})
+    if terms is not None:
+        words = sorted({w.lower() for w in terms})
+    else:
+        words = sorted(
+            {w.lower() for w in (expand_query(query) if use_stems else query.split())}
+        )
     if not words:
         return spark.createDataFrame([], "url string, score double")
 

@@ -101,4 +101,10 @@ def test_cjk_aware_postings_end_to_end(spark):
     # latin terms still work under the same analyzer
     hits3 = eng.search_bm25("spark", k=3).collect()
     assert len(hits3) == 1 and hits3[0]["url"].endswith("/3.html")
+    # query-side seam: a 3-ideograph query analyzes into the same
+    # bigrams the index stores (raw token alone would match nothing)
+    assert fn.cjk_query_terms("北京欢迎 spark") == ["北京", "京欢", "欢迎", "spark"]
+    hits4 = eng.search_bm25("欢迎你", k=3, analyzer=fn.cjk_query_terms).collect()
+    assert len(hits4) == 1 and hits4[0]["url"].endswith("/1.html")
+    assert eng.search_bm25("欢迎你", k=3).collect() == []
     eng.unpersist()
