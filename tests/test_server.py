@@ -131,6 +131,31 @@ def test_entry_page_served(base_url):
     assert "NEAR" in body and "n_occurrences" in body and "n_matches" in body
 
 
+def test_concurrent_requests_consistent(base_url, engine):
+    """With the dedicated serving session there is no shared-conf
+    mutation to race on: 16 overlapping mixed requests all succeed and
+    every /search response matches the direct engine result."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    direct = [
+        (r["url"], float(r["score"]))
+        for r in engine.search_bm25_served("search engine index", k=5).collect()
+    ]
+
+    def one(i):
+        if i % 4 == 3:
+            return _get(f"{base_url}/health")
+        return _get(f"{base_url}/search?query=search+engine+index&k=5")
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, range(16)))
+    assert all(code == 200 for code, _ in results)
+    for code, body in results:
+        if "results" in body:
+            got = [(r["url"], r["score"]) for r in body["results"]]
+            assert got == direct
+
+
 def test_unknown_route_is_404(base_url):
     try:
         urllib.request.urlopen(f"{base_url}/nope", timeout=60)
