@@ -166,6 +166,25 @@ def main():
         for q in qset:
             dt, _ = timed(lambda q=q: eng.search_bm25_served(q, k=10).collect())
             lat_served.append(dt * 1000)
+    # concurrent serving throughput: requests overlap on a dedicated
+    # serving session (no shared-conf lock), the way the HTTP server
+    # runs them — sequential p50/p95 above, aggregate qps here
+    served_concurrent_qps = None
+    if lat_served:
+        from concurrent.futures import ThreadPoolExecutor
+
+        clone = eng.serving_clone()
+        clone.search_bm25_served("warm up").collect()
+        reqs = [q for q in qset for _ in range(4)]
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(
+                ex.map(
+                    lambda q: clone.search_bm25_served(q, k=10).collect(), reqs
+                )
+            )
+        served_concurrent_qps = round(len(reqs) / (time.perf_counter() - t0), 1)
+
     # blocked on-disk serving layout: build once, then query latency
     # through the sidecar-dictionary single-job path
     eng.save_blocked("/tmp/bench_blocked")
@@ -210,6 +229,7 @@ def main():
                     sorted(lat_served)[max(0, int(len(lat_served) * 0.95) - 1)], 1
                 )
                 if lat_served else None,
+                "served_concurrent_qps": served_concurrent_qps,
                 "bm25_blocked_p50_ms": round(statistics.median(lat_blocked), 1),
                 "bm25_blocked_p95_ms": round(
                     sorted(lat_blocked)[max(0, int(len(lat_blocked) * 0.95) - 1)], 1
