@@ -67,3 +67,66 @@ def stratified_keep(
         F.lit(default_rate),
     )
     return df.withColumn(out, b < rate)
+
+def bigram_lm_nll(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram language-model score: train an add-one
+    (Laplace) bigram LM on the corpus itself and score every document
+    by its negative log likelihood and perplexity — the CCNet-style
+    perplexity filter web-corpus pipelines run to drop incoherent or
+    boilerplate text (a doc whose bigrams are rare under the corpus LM
+    scores high-perplexity).
+
+    Returns (key, n_bigrams, nll, ppl) for every doc with >= 2 tokens:
+    nll = sum over bigram occurrences of round(-ln(p), 4) with
+    p = (c(w1,w2)+1)/(c(w1,.)+V), rounded to 4 (each term is a 1e-4
+    multiple so the sum is grid-exact and engine-order-independent);
+    ppl = round(exp(nll/n_bigrams), 2).
+
+    Scale: everything is JVM built-ins (split/slice/arrays_zip/explode,
+    two hash aggregations, two shuffle joins on the bigram keys); the
+    context-count and vocab relations are vocabulary-sized so Catalyst
+    broadcasts them under AQE. The bigram relation is derived twice
+    (counts + scoring) straight off the columnar scan rather than
+    cached — re-scanning parquet beats caching row-format at this
+    width. No Python in the path.
+    """
+    a = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    toks = df.select(F.col(key_col).alias("k"), a.alias("a"))
+    vocab_n = (
+        toks.select(F.explode("a").alias("w")).agg(F.countDistinct("w")).collect()[0][0]
+    )
+    n = F.size("a")
+    big = (
+        toks.where(n >= 2)
+        .select(
+            "k",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("a", 1, n - 1).alias("w1"),
+                    F.slice("a", 2, n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("k", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_ctx"))
+    scored = (
+        big.join(bc, ["w1", "w2"])
+        .join(cc, ["w1"])
+        .select(
+            "k",
+            F.round(
+                -F.log((F.col("c") + 1.0) / (F.col("n_ctx") + F.lit(vocab_n))), 4
+            ).alias("nll_r"),
+        )
+    )
+    return scored.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("nll_r"), 4).alias("nll"),
+        F.round(F.exp(F.sum("nll_r") / F.count(F.lit(1))), 2).alias("ppl"),
+    ).withColumnRenamed("k", key_col)

@@ -1390,3 +1390,98 @@ def bm25_filtered_blocked(spark, sf_dir):
         F.col("url").cast("long").alias("doc_id"),
         F.round("score", 4).alias("score"),
     )
+
+
+def bigram_lm_scores(spark, sf_dir):
+    """CCNet-style perplexity filter input: add-one bigram LM trained
+    on the corpus scores every document's negative log likelihood and
+    perplexity (analytics/curation.bigram_lm_nll). High-ppl docs are
+    the incoherent/boilerplate tail a training-data pipeline drops."""
+    from .analytics.curation import bigram_lm_nll
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_nll(docs)
+
+
+BIGRAM_LM_SCORES_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS a
+  FROM documents
+),
+allw AS (SELECT unnest(a) AS w FROM toks),
+big AS (
+  SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+  FROM toks CROSS JOIN unnest(generate_series(1, len(a) - 1)) AS g(i)
+  WHERE len(a) >= 2
+),
+bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+cc AS (SELECT w1, count(*) AS n_ctx FROM big GROUP BY 1),
+v AS (SELECT count(DISTINCT w) AS v FROM allw),
+scored AS (
+  SELECT big.doc_id,
+         round(-ln((bc.c + 1.0) / (cc.n_ctx + v.v)), 4) AS nll_r
+  FROM big JOIN bc USING (w1, w2) JOIN cc USING (w1) CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(nll_r), 4) AS nll,
+       round(exp(sum(nll_r) / count(*)), 2) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+
+SPELL_QUERIES = ("tabel", "joni", "sparc", "windoww", "grup", "vallue")
+SPELL_MAX_DIST = 2
+SPELL_TOPK = 3
+
+
+def spell_suggest(spark, sf_dir, queries=SPELL_QUERIES):
+    """Did-you-mean suggestions: for each (misspelled) query term, the
+    top-3 corpus-dictionary terms within Levenshtein distance 2,
+    ranked by (distance, df desc, term). The dictionary is the
+    term_stats relation; candidate generation is a broadcast of the
+    handful of query terms against the vocabulary with a cheap length
+    band before the JVM-side levenshtein — the scan-the-dictionary
+    plan that holds at a 10M-term vocabulary (the dictionary scan is
+    embarrassingly parallel and the window is per-query-term tiny)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    dict_df = (
+        _tokens(docs).groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    )
+    qdf = spark.range(1).select(
+        F.explode(F.array(*[F.lit(q) for q in queries])).alias("qterm")
+    )
+    cand = (
+        dict_df.crossJoin(F.broadcast(qdf))
+        .where(
+            F.abs(F.length("w") - F.length("qterm")) <= SPELL_MAX_DIST
+        )
+        .withColumn("dist", F.levenshtein("qterm", "w"))
+        .where(F.col("dist") <= SPELL_MAX_DIST)
+    )
+    win = Window.partitionBy("qterm").orderBy(
+        F.col("dist"), F.col("df").desc(), F.col("w")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= SPELL_TOPK)
+        .select("qterm", F.col("w").alias("suggestion"), "dist", "df", "rank")
+    )
+
+
+SPELL_SUGGEST_SQL = f"""
+WITH {_TOKENS_CTE},
+dict AS (SELECT w, count(DISTINCT doc_id) AS df FROM tokens GROUP BY w),
+q AS (SELECT unnest([{", ".join(f"'{q}'" for q in SPELL_QUERIES)}]) AS qterm),
+cand AS (
+  SELECT qterm, w, CAST(levenshtein(qterm, w) AS INT) AS dist, df
+  FROM q CROSS JOIN dict
+  WHERE abs(len(w) - len(qterm)) <= {SPELL_MAX_DIST}
+    AND levenshtein(qterm, w) <= {SPELL_MAX_DIST}
+)
+SELECT qterm, w AS suggestion, dist, df,
+       CAST(row_number() OVER (PARTITION BY qterm ORDER BY dist, df DESC, w) AS INT) AS rank
+FROM cand
+QUALIFY rank <= {SPELL_TOPK}
+"""

@@ -743,6 +743,11 @@ EXTRA_ORACLE_QUERIES["crawl_frontier_bfs"] = (
 EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["dataset_split"] = (t.dataset_split, t.DATASET_SPLIT_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
+EXTRA_ORACLE_QUERIES["bigram_lm_scores"] = (
+    t.bigram_lm_scores,
+    t.BIGRAM_LM_SCORES_SQL,
+)
+EXTRA_ORACLE_QUERIES["spell_suggest"] = (t.spell_suggest, t.SPELL_SUGGEST_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)

@@ -1376,3 +1376,50 @@ def test_bmp_rle8_truncated_payload_raises_cleanly():
         decode_bmp(bmp(bytes([0, 2])))  # delta escape, no dx/dy
     with pytest.raises(ValueError, match="absolute"):
         decode_bmp(bmp(bytes([0, 4, 1])))  # absolute run of 4, 1 byte
+
+def test_bigram_lm_nll_hand_computed(spark):
+    """Add-one bigram LM on a 3-doc corpus, checked against pencil-and-
+    paper: V=4 (a,b,c,x); c(a,b)=3, c(b,a)=1, c(b,c)=1; contexts
+    c(a,.)=3, c(b,.)=2. The single-token doc has no bigrams and is
+    excluded."""
+    import math
+
+    from google_like_search_engine_spark.analytics.curation import bigram_lm_nll
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in bigram_lm_nll(docs).collect()}
+    ab = round(-math.log(4 / 7), 4)       # (3+1)/(3+4)
+    ba = round(-math.log(2 / 6), 4)       # (1+1)/(2+4)
+    bc = round(-math.log(2 / 6), 4)
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["nll"] == round(ab + ba + ab, 4)
+    assert got[1]["ppl"] == round(math.exp((ab + ba + ab) / 3), 2)
+    assert got[2]["n_bigrams"] == 2
+    assert got[2]["nll"] == round(ab + bc, 4)
+    assert got[2]["ppl"] == round(math.exp((ab + bc) / 2), 2)
+
+
+def test_spell_suggest_ranking(spark, tmp_path):
+    """Top-k ranking is (distance, df desc, term): 'cut' (dist 1, df 3)
+    beats 'cot' (dist 1, df 2) beats 'bat' (dist 1, df 1); 'cart'
+    (dist 2) can't displace any dist-1 term; far terms never appear."""
+    from google_like_search_engine_spark.catalog_text import spell_suggest
+
+    rows = [
+        (1, "cut cot bat cart zebra"),
+        (2, "cut cot"),
+        (3, "cut"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = [
+        (r["suggestion"], r["dist"], r["df"], r["rank"])
+        for r in spell_suggest(spark, str(tmp_path), queries=("cat",))
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [("cut", 1, 3, 1), ("cot", 1, 2, 2), ("bat", 1, 1, 3)]
