@@ -697,6 +697,25 @@ class SearchEngine:
             .limit(k)
         )
 
+    def suggest(self, term: str, k: int = 3, max_dist: int = 2) -> DataFrame:
+        """Did-you-mean over the build-time term dictionary: the top-k
+        terms within Levenshtein ``max_dist`` of ``term``, ranked by
+        (distance, df desc, term). A cheap length band prunes the
+        dictionary scan before the JVM-side levenshtein; the scan is
+        embarrassingly parallel, so the plan holds at a 10M-term
+        vocabulary where a driver-side dictionary loop would not."""
+        assert self.term_df is not None, "build or load first"
+        t = term.lower()
+        return (
+            self.term_df.where(
+                F.abs(F.length("term") - F.lit(len(t))) <= max_dist
+            )
+            .withColumn("dist", F.levenshtein(F.lit(t), F.col("term")))
+            .where(F.col("dist") <= max_dist)
+            .orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
     # -- low-latency serving path ------------------------------------------
 
     DICT_CAP = 2_000_000  # max dictionary entries held driver-side

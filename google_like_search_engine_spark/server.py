@@ -11,6 +11,7 @@ Routes:
   GET /                                            HTML search page
   GET /search?query=...&k=10[&scorer=bm25|tfidf]   ranked results (JSON)
   GET /autocomplete?prefix=...&k=10                dictionary prefix scan
+  GET /suggest?q=...&k=3                           did-you-mean (levenshtein)
   GET /health                                      liveness + corpus size
 
 The / page is the analog of the reference's frontend
@@ -202,6 +203,24 @@ def make_server(
                     for r in engine.autocomplete(prefix, k=k).collect()
                 ]
                 self._json(200, {"prefix": prefix, "completions": rows})
+            elif u.path == "/suggest":
+                term = q.get("q", "")
+                if not term:
+                    self._json(400, {"error": "missing ?q="})
+                    return
+                k = self._k(q)
+                if k is None:
+                    self._json(400, {"error": "?k= must be an integer"})
+                    return
+                rows = [
+                    {
+                        "term": r["term"],
+                        "dist": int(r["dist"]),
+                        "df": int(r["df"]),
+                    }
+                    for r in engine.suggest(term, k=k).collect()
+                ]
+                self._json(200, {"q": term, "suggestions": rows})
             elif u.path == "/stats" and blocked_path:
                 self._json(200, engine.index_stats(blocked_path))
             elif u.path == "/phrase" and blocked_path:

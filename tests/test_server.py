@@ -261,3 +261,24 @@ def test_threshold_route(blocked_url):
     assert len(body2["results"]) <= len(body["results"])
     code3, body3 = _get_allow_error(f"{blocked_url}/threshold?query=search+engine")
     assert code3 == 400
+
+
+def test_suggest_route_matches_engine(base_url, engine):
+    """Misspell a dictionary term; the route returns the engine's
+    (distance, df desc, term)-ranked corrections and the true term
+    ranks first."""
+    seed = [r["term"] for r in engine.autocomplete("se", k=1).collect()][0]
+    typo = seed[:-1] + "zz"  # dist 2 from seed: one substitution + one insert
+    code, body = _get(f"{base_url}/suggest?q={typo}&k=3")
+    assert code == 200
+    direct = [
+        (r["term"], int(r["dist"]), int(r["df"]))
+        for r in engine.suggest(typo, k=3).collect()
+    ]
+    assert [(s["term"], s["dist"], s["df"]) for s in body["suggestions"]] == direct
+    assert direct and direct[0][0] == seed
+
+
+def test_suggest_missing_q_is_400(base_url):
+    code, body = _get_allow_error(f"{base_url}/suggest")
+    assert code == 400
