@@ -1485,3 +1485,104 @@ SELECT qterm, w AS suggestion, dist, df,
 FROM cand
 QUALIFY rank <= {SPELL_TOPK}
 """
+
+
+CURATE_PPL_MAX = 29.505  # off the 0.01 ppl grid: no boundary-equality rows
+
+
+def curate_corpus(spark, sf_dir):
+    """The full training-data curation pipeline as one relation —
+    the composition a corpus user actually runs before training:
+    Gopher-style quality rules (quality_filter) AND declared-vs-
+    detected language agreement (the CCNet drop-on-mismatch gate) AND
+    near-dup cluster survivorship (dedup_keep_list) AND bigram-LM
+    perplexity below CURATE_PPL_MAX (bigram_lm_scores). One row per
+    doc with each gate's verdict and the conjunction, so a drop is
+    auditable to the rule that caused it. Each stage is an existing
+    oracle-green operator; the oracle here recomposes their SQL as
+    nested CTEs, so the composite must agree gate-by-gate.
+
+    Scale: four independent aggregations over the same columnar scan
+    joined back on doc_id — each is the operator's own 100 TB-safe
+    plan, and the joins are co-partitioned on the doc key."""
+    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
+    docs = load(spark, sf_dir, "documents")
+    q = quality_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ok_quality")
+    )
+    pred = (
+        _tokens(docs)
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1))
+                > 0.05
+            ).alias("pred_en")
+        )
+    )
+    dk = dedup_keep_list(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("ok_dedup")
+    )
+    p = bigram_lm_scores(spark, sf_dir).select("doc_id", "ppl")
+    joined = (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(pred, "doc_id")
+        .join(dk, "doc_id")
+        .join(p, "doc_id")
+    )
+    ok_lang = F.col("pred_en") == (F.col("lang") == "en")
+    ok_ppl = F.col("ppl") <= CURATE_PPL_MAX
+    # every verdict AND the conjunction in ONE select: the ok_* columns
+    # this select defines are not referenceable within it
+    return joined.select(
+        "doc_id",
+        F.col("ok_quality"),
+        ok_lang.alias("ok_lang"),
+        F.col("ok_dedup"),
+        ok_ppl.alias("ok_ppl"),
+        (F.col("ok_quality") & ok_lang & F.col("ok_dedup") & ok_ppl).alias(
+            "keep"
+        ),
+    )
+
+
+CURATE_CORPUS_SQL = f"""
+WITH RECURSIVE
+q AS ({QUALITY_FILTER_SQL}),
+l AS (
+  WITH {_TOKENS_CTE}
+  SELECT doc_id,
+         CAST(sum(CASE WHEN w IN ({", ".join(f"'{t}'" for t in STOP_TERMS)}) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) > 0.05 AS pred_en
+  FROM tokens GROUP BY doc_id
+),
+pairs AS (
+{MINHASH_VERIFIED_PAIRS_SQL}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.id
+),
+dk AS (
+  SELECT id AS doc_id, (id = min(lbl)) AS ok_dedup FROM reach GROUP BY id
+),
+p AS ({BIGRAM_LM_SCORES_SQL})
+SELECT d.doc_id,
+       q.keep AS ok_quality,
+       (l.pred_en = (d.lang = 'en')) AS ok_lang,
+       dk.ok_dedup,
+       p.ppl <= {CURATE_PPL_MAX} AS ok_ppl,
+       q.keep AND (l.pred_en = (d.lang = 'en')) AND dk.ok_dedup
+         AND p.ppl <= {CURATE_PPL_MAX} AS keep
+FROM documents d
+JOIN q ON q.doc_id = d.doc_id
+JOIN l ON l.doc_id = d.doc_id
+JOIN dk ON dk.doc_id = d.doc_id
+JOIN p ON p.doc_id = d.doc_id
+"""

@@ -748,6 +748,7 @@ EXTRA_ORACLE_QUERIES["bigram_lm_scores"] = (
     t.BIGRAM_LM_SCORES_SQL,
 )
 EXTRA_ORACLE_QUERIES["spell_suggest"] = (t.spell_suggest, t.SPELL_SUGGEST_SQL)
+EXTRA_ORACLE_QUERIES["curate_corpus"] = (t.curate_corpus, t.CURATE_CORPUS_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
