@@ -162,6 +162,30 @@ def main():
         ("whole-stage codegen", has("[codegen id :")),
     ])
 
+    # bigram LM: slice/arrays_zip/explode + two hash aggs, all codegen
+    audit("bigram_lm_scores", t.bigram_lm_scores(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+        ("columns pruned at scan",
+         lambda p: "text" in p.split("ReadSchema")[1][:200]
+         and "lang" not in p.split("ReadSchema")[1][:200]),
+    ])
+
+    # spelling suggester: query terms broadcast against the dictionary
+    # scan, levenshtein evaluated JVM-side inside codegen
+    audit("spell_suggest", t.spell_suggest(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("query terms broadcast", has("BroadcastNestedLoopJoin")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
+    # curation composite: four gates joined on the doc key with no
+    # python worker anywhere in the combined plan
+    audit("curate_corpus", t.curate_corpus(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
     out_path = os.path.join(REPO, "BENCH", "plan_audit_round5.txt")
     failed = 0
     with open(out_path, "w") as f:
