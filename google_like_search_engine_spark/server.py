@@ -76,6 +76,20 @@ document.getElementById('f').addEventListener('submit',async ev=>{
   const r=await fetch(url);
   const js=await r.json();
   if(js.error){s.textContent=js.error;return}
+  if(!(js.results||[]).length){
+    // no hits: offer did-you-mean corrections for each query word
+    const words=raw.replace(/["]/g,'').split(/\\s+/).filter(Boolean)
+      .map(w=>w.replace(/^[+-]/,''));
+    const fixes=[];
+    for(const w of words){
+      const sr=await fetch('/suggest?q='+encodeURIComponent(w)+'&k=1');
+      if(!sr.ok)continue; const sj=await sr.json();
+      const best=(sj.suggestions||[])[0];
+      if(best&&best.term!=w)fixes.push(best.term);
+    }
+    s.textContent=fixes.length?'did you mean: '+fixes.join(' '):'no results';
+    return;
+  }
   for(const row of (js.results||[])){
     const li=document.createElement('li');
     const a=document.createElement('a'); a.href=row.url; a.textContent=row.url;

@@ -129,6 +129,7 @@ def test_entry_page_served(base_url):
     assert "/search?query=" in body and "/autocomplete?prefix=" in body
     assert "/phrase?query=" in body and "/proximity?terms=" in body
     assert "NEAR" in body and "n_occurrences" in body and "n_matches" in body
+    assert "/suggest?q=" in body and "did you mean" in body
 
 
 def test_concurrent_requests_consistent(base_url, engine):
