@@ -77,14 +77,16 @@ QUERIES = {
     # Flame operator inventory (SURVEY.md section 2.1). Rounds 4-5
     # demoted the redundant tail (count/take, then distinct/fold_sum/
     # sample/groupby/intersection/flatmaptopair) to EXTRA_ORACLE_QUERIES
-    # — still parity-tested — keeping the four distinctive-semantics ops
-    # (filter, foldByKey, the vA,vB cross-product join, full-outer
-    # cogroup) in the gate alongside wordcount (flatMap) and token_stats
-    # (mapPartitions).
+    # — still parity-tested — keeping the distinctive-semantics ops
+    # (filter, foldByKey, the vA,vB cross-product join) in the gate
+    # alongside wordcount (flatMap) and token_stats (mapPartitions).
     "flame_filter": (c.flame_filter, c.FLAME_FILTER_SQL),
     "flame_foldbykey": (c.flame_foldbykey, c.FLAME_FOLDBYKEY_SQL),
     "flame_join": (c.flame_join, c.FLAME_JOIN_SQL),
-    "flame_cogroup": (c.flame_cogroup, c.FLAME_COGROUP_SQL),
+    # the 4-gate curation composite (quality AND lang AND dedup AND
+    # perplexity) replaces flame_cogroup in the gate tail — cogroup
+    # stays parity-tested in EXTRA_ORACLE_QUERIES like count/take
+    "curate_corpus": (t.curate_corpus, t.CURATE_CORPUS_SQL),
 }
 
 
@@ -748,7 +750,7 @@ EXTRA_ORACLE_QUERIES["bigram_lm_scores"] = (
     t.BIGRAM_LM_SCORES_SQL,
 )
 EXTRA_ORACLE_QUERIES["spell_suggest"] = (t.spell_suggest, t.SPELL_SUGGEST_SQL)
-EXTRA_ORACLE_QUERIES["curate_corpus"] = (t.curate_corpus, t.CURATE_CORPUS_SQL)
+EXTRA_ORACLE_QUERIES["flame_cogroup"] = (c.flame_cogroup, c.FLAME_COGROUP_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
@@ -826,7 +828,7 @@ QUERY_ORDER = [
     "flame_filter",
     "flame_foldbykey",
     "flame_join",
-    "flame_cogroup",
+    "curate_corpus",
 ]
 assert len(QUERY_ORDER) == 50, f"driver gate must hold exactly 50, got {len(QUERY_ORDER)}"
 _missing = [
