@@ -327,6 +327,16 @@ def _png_line_pixels(line, w: int, nch: int, depth: int, palette):
                 shift = 8 - depth * (x % per_byte + 1)
                 out.append(palette[((byte >> shift) & mask) % len(palette)])
         return out
+    if nch == 1 and depth < 8:  # sub-byte greyscale: scale to 8-bit
+        per_byte = 8 // depth
+        mask = (1 << depth) - 1
+        out = []
+        for x in range(w):
+            byte = line[x // per_byte]
+            shift = 8 - depth * (x % per_byte + 1)
+            g = ((byte >> shift) & mask) * 255 // mask
+            out.append((g, g, g))
+        return out
     step = nch * (2 if depth == 16 else 1)
     take = 2 if depth == 16 else 1  # 16-bit: high byte (standard 8-bit view)
     out = []
@@ -341,9 +351,10 @@ def _png_line_pixels(line, w: int, nch: int, depth: int, palette):
 
 
 def decode_png(payload: bytes):
-    """Pure-Python PNG decoder (stdlib zlib): grey / grey+alpha / RGB /
-    RGBA at 8 or 16 bit (16-bit reads the high byte — the standard
-    8-bit view), palette (color type 3) at 1/2/4/8 bit, both
+    """Pure-Python PNG decoder (stdlib zlib): grey at 1/2/4/8/16 bit
+    (sub-byte samples scaled to 8-bit), grey+alpha / RGB / RGBA at 8 or
+    16 bit (16-bit reads the high byte — the standard 8-bit view),
+    palette (color type 3) at 1/2/4/8 bit, both
     non-interlaced and Adam7-interlaced layouts, all five scanline
     filters. -> (width, height, channels, pixels [(r,g,b)])."""
     import zlib
@@ -376,6 +387,11 @@ def decode_png(payload: bytes):
         if depth not in (1, 2, 4, 8):
             raise NotImplementedError(f"palette PNG depth={depth}")
         palette = plte
+        nch = 1
+        bits_pp = depth
+    elif color == 0:  # greyscale: every legal depth incl. sub-byte
+        if depth not in (1, 2, 4, 8, 16):
+            raise NotImplementedError(f"PNG depth={depth} for color={color}")
         nch = 1
         bits_pp = depth
     else:

@@ -541,11 +541,13 @@ def test_png_unsupported_shapes_raise():
         ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
         return b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
 
-    # 16-bit, palette and Adam7 are SUPPORTED now; the honest raises
-    # that remain are sub-byte greyscale depths, bad color types, and
-    # palette images missing their PLTE
+    # 16-bit, palette, Adam7 AND sub-byte greyscale are SUPPORTED now;
+    # the honest raises that remain are illegal depth/color combos, bad
+    # color types, and palette images missing their PLTE
     with _pt.raises(NotImplementedError):
-        decode_png(png_with_ihdr(4, 0, 0))  # 4-bit greyscale
+        decode_png(png_with_ihdr(4, 2, 0))  # 4-bit RGB (illegal)
+    with _pt.raises(NotImplementedError):
+        decode_png(png_with_ihdr(4, 4, 0))  # 4-bit grey+alpha (illegal)
     with _pt.raises(NotImplementedError):
         decode_png(png_with_ihdr(8, 5, 0))  # bogus color type
     with _pt.raises(ValueError):
@@ -1423,3 +1425,37 @@ def test_spell_suggest_ranking(spark, tmp_path):
         .collect()
     ]
     assert got == [("cut", 1, 3, 1), ("cot", 1, 2, 2), ("bat", 1, 1, 3)]
+
+
+def test_png_subbyte_greyscale():
+    """1-bit and 4-bit greyscale PNGs decode with samples scaled to
+    8-bit (0/255 for 1-bit; v*255//15 for 4-bit), MSB-first packing."""
+    import struct
+    import zlib
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        _PNG_SIG,
+        decode_png,
+    )
+
+    def build(w, h, depth, raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)
+        return (
+            _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    # 1-bit, 10x1: pattern 1100110011 -> bytes 0b11001100, 0b11......
+    raw1 = bytes([0, 0b11001100, 0b11000000])
+    w, h, c, pix = decode_png(build(10, 1, 1, raw1))
+    assert (w, h, c) == (10, 1, 1)
+    want = [255, 255, 0, 0, 255, 255, 0, 0, 255, 255]
+    assert [p[0] for p in pix] == want
+    assert all(p == (p[0], p[0], p[0]) for p in pix)
+
+    # 4-bit, 3x2: samples (1, 8, 15) and (0, 5, 10), MSB-first nibbles
+    raw4 = bytes([0, 0x18, 0xF0]) + bytes([0, 0x05, 0xA0])
+    w, h, c, pix = decode_png(build(3, 2, 4, raw4))
+    assert (w, h, c) == (3, 2, 1)
+    assert [p[0] for p in pix] == [v * 255 // 15 for v in (1, 8, 15, 0, 5, 10)]
