@@ -1586,3 +1586,152 @@ JOIN l ON l.doc_id = d.doc_id
 JOIN dk ON dk.doc_id = d.doc_id
 JOIN p ON p.doc_id = d.doc_id
 """
+
+
+EVAL_QUERIES = {
+    1: ("spark", "join"),
+    2: ("window", "order", "data"),
+    3: ("hash", "table", "scan"),
+}
+EVAL_K = 10
+
+
+def search_eval_ndcg(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
+    """Ranking-quality evaluation (nDCG@10) for the BM25 ranker over a
+    fixed query set with synthetic relevance judgments — the eval
+    harness a search team runs on every ranker change. rel=2 when a
+    doc matches every query term AND is labeled English — relevance
+    deliberately encodes a dimension (the lang label) the ranker does
+    not model, so nDCG measurably penalizes it instead of degenerating
+    to 1.0; rel=1 for any other match (only matching docs are
+    candidates, exactly the engine's semantics). The ranked list
+    orders by (rounded score desc, doc_id) and the ideal list by
+    (rel desc, doc_id), so both are engine-deterministic; per-position
+    gains rel/log2(pos+1) are rounded onto a 1e-4 grid before summing
+    (the bigram-LM trick) so DCG/IDCG are order-independent.
+
+    Scale: one scored relation per (query, doc), two window ranks
+    partitioned by query (each partition is a candidate set, not the
+    corpus), one final agg — query count is the fan-out knob, not
+    corpus size."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n = float(docs.count())
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+    q_rows = [
+        (qid, w, len(ws)) for qid, ws in EVAL_QUERIES.items() for w in ws
+    ]
+    qdf = spark.createDataFrame(q_rows, "qid int, w string, n_q int")
+    dfc = (
+        tf.join(F.broadcast(qdf.select("w").distinct()), "w")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "w")
+        .join(F.broadcast(dfc), "w")
+        .join(dl, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("qid", "n_q", "doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                ),
+                4,
+            ).alias("score"),
+            F.countDistinct("w").alias("n_matched"),
+        )
+        .withColumn(
+            "rel",
+            F.when(
+                (F.col("n_matched") == F.col("n_q")) & (F.col("lang") == "en"),
+                F.lit(2),
+            ).otherwise(F.lit(1)),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    w_ideal = Window.partitionBy("qid").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ranked = scored.withColumn(
+        "pos", F.row_number().over(w_rank)
+    ).withColumn("ipos", F.row_number().over(w_ideal))
+    gains = ranked.select(
+        "qid",
+        F.when(
+            F.col("pos") <= EVAL_K,
+            F.round(F.col("rel") / F.log2(F.col("pos") + 1), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("g"),
+        F.when(
+            F.col("ipos") <= EVAL_K,
+            F.round(F.col("rel") / F.log2(F.col("ipos") + 1), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ig"),
+    )
+    agg = gains.groupBy("qid").agg(
+        F.round(F.sum("g"), 4).alias("dcg"),
+        F.round(F.sum("ig"), 4).alias("idcg"),
+    )
+    return agg.select(
+        "qid", "dcg", "idcg",
+        F.round(F.col("dcg") / F.col("idcg"), 4).alias("ndcg"),
+    )
+
+
+_EVAL_Q_VALUES = ", ".join(
+    f"({qid}, '{w}', {len(ws)})"
+    for qid, ws in EVAL_QUERIES.items()
+    for w in ws
+)
+
+SEARCH_EVAL_NDCG_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+q(qid, w, n_q) AS (VALUES {_EVAL_Q_VALUES}),
+dfc AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tf
+  WHERE w IN (SELECT w FROM q) GROUP BY w
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         round(sum(
+           ln((n.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 4) AS score,
+         CASE WHEN count(DISTINCT tf.w) = q.n_q AND d.lang = 'en'
+              THEN 2 ELSE 1 END AS rel
+  FROM tf JOIN q USING (w) JOIN dfc USING (w)
+       JOIN dl ON tf.doc_id = dl.doc_id
+       JOIN documents d ON d.doc_id = tf.doc_id, stats, n
+  GROUP BY q.qid, q.n_q, tf.doc_id, d.lang
+),
+ranked AS (
+  SELECT qid, rel,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS pos,
+         row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS ipos
+  FROM scored
+),
+g AS (
+  SELECT qid,
+         CASE WHEN pos <= {EVAL_K} THEN round(rel / log2(pos + 1), 4) ELSE 0 END AS g,
+         CASE WHEN ipos <= {EVAL_K} THEN round(rel / log2(ipos + 1), 4) ELSE 0 END AS ig
+  FROM ranked
+),
+agg AS (
+  SELECT qid, round(sum(g), 4) AS dcg, round(sum(ig), 4) AS idcg FROM g GROUP BY qid
+)
+SELECT CAST(qid AS INT) AS qid, dcg, idcg, round(dcg / idcg, 4) AS ndcg FROM agg
+"""

@@ -751,6 +751,10 @@ EXTRA_ORACLE_QUERIES["bigram_lm_scores"] = (
 )
 EXTRA_ORACLE_QUERIES["spell_suggest"] = (t.spell_suggest, t.SPELL_SUGGEST_SQL)
 EXTRA_ORACLE_QUERIES["flame_cogroup"] = (c.flame_cogroup, c.FLAME_COGROUP_SQL)
+EXTRA_ORACLE_QUERIES["search_eval_ndcg"] = (
+    t.search_eval_ndcg,
+    t.SEARCH_EVAL_NDCG_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
