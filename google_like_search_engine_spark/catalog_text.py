@@ -1735,3 +1735,68 @@ agg AS (
 )
 SELECT CAST(qid AS INT) AS qid, dcg, idcg, round(dcg / idcg, 4) AS ndcg FROM agg
 """
+
+
+def streaming_quality_filter(spark, sf_dir):
+    """Structured-Streaming twin of quality_filter: the documents
+    table replayed through readStream with the quality features
+    computed as STATELESS per-row array expressions (filter/aggregate/
+    array_distinct over the token array — no explode, no groupBy, no
+    state store), drained with availableNow into an append-mode memory
+    sink. The stateless form is the shape quality gating takes on a
+    100 TB ingest stream — every row is independent, so it scales with
+    input partitions and needs no watermark at all. Values must equal
+    the batch explode+groupBy relation exactly: the oracle is shared
+    with quality_filter."""
+    import os
+    import shutil
+
+    base = f"/tmp/spark_graft_sqf_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(f"{base}/in")
+    src = spark.readStream.schema(docs.schema).parquet(f"{base}/in")
+    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
+    r = QUALITY_RULES
+    feats = src.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("a"),
+    ).where(F.size("a") >= 1).select(
+        "doc_id",
+        F.size("a").cast("long").alias("n_tokens"),
+        (
+            F.expr("aggregate(a, 0L, (acc, x) -> acc + length(x))")
+            / F.size("a")
+        ).alias("mwl"),
+        (
+            F.expr(f"size(filter(a, x -> x IN ({stop})))") / F.size("a")
+        ).alias("sr"),
+        (F.size(F.array_distinct("a")) / F.size("a")).alias("ttr"),
+    )
+    checks = {
+        "ok_len": (F.col("n_tokens") >= r["min_tokens"])
+        & (F.col("n_tokens") <= r["max_tokens"]),
+        "ok_mwl": (F.col("mwl") >= r["min_mean_word_len"])
+        & (F.col("mwl") <= r["max_mean_word_len"]),
+        "ok_stop": F.col("sr") >= r["min_stop_ratio"],
+        "ok_ttr": F.col("ttr") >= r["min_ttr"],
+    }
+    passed = (
+        checks["ok_len"] & checks["ok_mwl"] & checks["ok_stop"] & checks["ok_ttr"]
+    )
+    out = feats.select(
+        "doc_id",
+        "n_tokens",
+        *[c.alias(n) for n, c in checks.items()],
+        passed.alias("keep"),
+    )
+    name = "stream_quality_filter_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
