@@ -1459,3 +1459,34 @@ def test_png_subbyte_greyscale():
     w, h, c, pix = decode_png(build(3, 2, 4, raw4))
     assert (w, h, c) == (3, 2, 1)
     assert [p[0] for p in pix] == [v * 255 // 15 for v in (1, 8, 15, 0, 5, 10)]
+
+
+def test_curate_corpus_gate_attribution(spark, tmp_path):
+    """Each curation gate drops the doc built to fail exactly it:
+    doc 10 is a near-dup of doc 0 (dedup gate), doc 11 declares 'de'
+    but reads as English (lang gate), doc 12 is two tokens (quality
+    length gate). Survivors keep=True only when every gate passes."""
+    from google_like_search_engine_spark.catalog_text import curate_corpus
+
+    base = (
+        "the batch window spark order data column agg join hash table "
+        "scan slow fast value part key row the big small merge filter "
+        "sort group query stream line vector customer dup the a "
+    ) * 3
+    rows = [(i, base + f"doc{i} marker{i} extra{i} tail{i}", "en") for i in range(10)]
+    rows.append((10, base + "doc0 marker0 extra0 tail0", "en"))  # ~= doc 0
+    rows.append((11, base + "doc11 marker11 extra11 tail11", "de"))
+    rows.append((12, "two tokens", "en"))
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {r["doc_id"]: r.asDict() for r in curate_corpus(spark, str(tmp_path)).collect()}
+    assert len(got) == 13
+    assert not got[11]["ok_lang"] and got[10]["ok_lang"]
+    assert not got[12]["ok_quality"]
+    # 0 and 10 are near-dups: the min-id canonical (0) survives, 10 drops
+    assert got[0]["ok_dedup"] and not got[10]["ok_dedup"]
+    for i, r in got.items():
+        assert r["keep"] == (
+            r["ok_quality"] and r["ok_lang"] and r["ok_dedup"] and r["ok_ppl"]
+        )
