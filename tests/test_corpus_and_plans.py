@@ -95,3 +95,50 @@ def test_wholestage_codegen_in_aggregation(spark, sf_dir):
     # both the partial and final aggregates must be inside codegen.
     assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan, plan
     assert "partial_sum" in plan, plan  # map-side combine present
+
+
+def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
+    """A 95%-hot-key fact salted-joined to its dimension returns
+    exactly the plain join's rows, and the hot key's rows really do
+    spread across all salt sub-keys (the whole point: no single
+    shuffle task owns the hot key)."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.operators.skew import (
+        _SALT,
+        salted_join,
+    )
+
+    n = 2000
+    fact = spark.range(n).select(
+        F.when(F.col("id") % 20 != 0, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = fact.select("k").distinct().withColumn("attr", F.length("k"))
+
+    got = sorted(
+        (r["k"], r["v"], r["attr"])
+        for r in salted_join(fact, dim, "k", n_salts=8).collect()
+    )
+    want = sorted(
+        (r["k"], r["v"], r["attr"]) for r in fact.join(dim, "k").collect()
+    )
+    assert got == want and len(got) == n
+
+    # the spread itself: the hot key occupies every salt, and no salt
+    # holds more than ~2x its fair share of the hot rows
+    spread = (
+        fact.where(F.col("k") == "hot")
+        .withColumn(
+            _SALT,
+            F.pmod(F.xxhash64("k", "v"), F.lit(8)).cast("int"),
+        )
+        .groupBy(_SALT)
+        .count()
+        .collect()
+    )
+    hot_n = n - n // 20
+    assert len(spread) == 8
+    assert max(r["count"] for r in spread) < 2 * hot_n / 8
