@@ -38,7 +38,15 @@ def salted_join(
     ``salt_on`` picks the deterministic per-row spread expression
     (default: xxhash64 over all left columns — rows of the same hot
     key land on different salts, and re-runs agree row-by-row, the
-    same determinism argument as curation's hash_bucket)."""
+    same determinism argument as curation's hash_bucket).
+
+    Only left-preserving join types are legal: a right/full join over
+    the replicated right side would emit every unmatched right row
+    once per salt."""
+    if how.replace("_", "").lower() not in (
+        "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"
+    ):
+        raise ValueError(f"salted_join does not support how={how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     spread = (
         salt_on

@@ -142,3 +142,16 @@ def test_salted_join_equals_plain_join_and_spreads_hot_key(spark):
     hot_n = n - n // 20
     assert len(spread) == 8
     assert max(r["count"] for r in spread) < 2 * hot_n / 8
+
+
+def test_salted_join_rejects_right_preserving_types(spark):
+    """Right/full joins over the replicated right side would emit
+    unmatched right rows once per salt — refused loudly."""
+    import pytest as _pt
+
+    from google_like_search_engine_spark.operators.skew import salted_join
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer"):
+        with _pt.raises(ValueError):
+            salted_join(df, df, "k", how=how)
