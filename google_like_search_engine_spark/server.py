@@ -12,6 +12,7 @@ Routes:
   GET /search?query=...&k=10[&scorer=bm25|tfidf]   ranked results (JSON)
   GET /autocomplete?prefix=...&k=10                dictionary prefix scan
   GET /suggest?q=...&k=3                           did-you-mean (levenshtein)
+  GET /metrics                                     per-route counters + p50/p95
   GET /health                                      liveness + corpus size
 
 The / page is the analog of the reference's frontend
@@ -128,6 +129,45 @@ def make_server(
     # query execution; the clone removes both.)
     engine = engine.serving_clone()
 
+    # per-route request counters + latency samples (bounded ring), the
+    # minimum observability a serving deployment scrapes; counters are
+    # mutated under a lock (handler threads overlap) but requests never
+    # block each other on Spark work
+    import threading
+
+    metrics_lock = threading.Lock()
+    metrics: dict = {"routes": {}, "errors": 0}
+    _LAT_KEEP = 1024
+
+    def _record(route: str, ms: float, ok: bool) -> None:
+        with metrics_lock:
+            r = metrics["routes"].setdefault(
+                route, {"requests": 0, "lat_ms": []}
+            )
+            r["requests"] += 1
+            lat = r["lat_ms"]
+            lat.append(ms)
+            if len(lat) > _LAT_KEEP:
+                del lat[: len(lat) - _LAT_KEEP]
+            if not ok:
+                metrics["errors"] += 1
+
+    def _metrics_snapshot() -> dict:
+        with metrics_lock:
+            out = {"errors": metrics["errors"], "routes": {}}
+            for route, r in metrics["routes"].items():
+                lat = sorted(r["lat_ms"])
+                out["routes"][route] = {
+                    "requests": r["requests"],
+                    "p50_ms": round(lat[len(lat) // 2], 1) if lat else None,
+                    "p95_ms": round(
+                        lat[max(0, int(len(lat) * 0.95) - 1)], 1
+                    )
+                    if lat
+                    else None,
+                }
+            return out
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet: the driver log is enough
             pass
@@ -150,12 +190,17 @@ def make_server(
             return max(1, min(k, 100))
 
         def do_GET(self):  # noqa: N802 (stdlib API name)
+            import time as _time
+
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            t0 = _time.perf_counter()
             try:
                 self._dispatch(u, q)
+                _record(u.path, (_time.perf_counter() - t0) * 1000, True)
             except Exception as exc:  # surface engine errors as 500 JSON
                 self._json(500, {"error": str(exc)})
+                _record(u.path, (_time.perf_counter() - t0) * 1000, False)
 
         def _dispatch(self, u, q):
             if u.path == "/":
@@ -235,6 +280,8 @@ def make_server(
                     for r in engine.suggest(term, k=k).collect()
                 ]
                 self._json(200, {"q": term, "suggestions": rows})
+            elif u.path == "/metrics":
+                self._json(200, _metrics_snapshot())
             elif u.path == "/stats" and blocked_path:
                 self._json(200, engine.index_stats(blocked_path))
             elif u.path == "/phrase" and blocked_path:

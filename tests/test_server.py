@@ -283,3 +283,17 @@ def test_suggest_route_matches_engine(base_url, engine):
 def test_suggest_missing_q_is_400(base_url):
     code, body = _get_allow_error(f"{base_url}/suggest")
     assert code == 400
+
+
+def test_metrics_route_counts_and_latencies(base_url):
+    """Requests show up per route with latency percentiles; errors
+    count separately; /metrics observes itself only on later scrapes."""
+    _get(f"{base_url}/health")
+    _get(f"{base_url}/health")
+    _get_allow_error(f"{base_url}/search")  # 400 -> dispatched fine, no error
+    code, body = _get(f"{base_url}/metrics")
+    assert code == 200
+    health = body["routes"]["/health"]
+    assert health["requests"] >= 2
+    assert health["p50_ms"] is not None and health["p50_ms"] >= 0
+    assert "/search" in body["routes"]
