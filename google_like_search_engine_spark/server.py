@@ -109,6 +109,7 @@ def make_server(
     host: str = "127.0.0.1",
     port: int = 8080,
     blocked_path: str | None = None,
+    cache_size: int = 0,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -118,6 +119,11 @@ def make_server(
       GET /proximity?terms=a,b&window=5    all terms near each anchor
       GET /threshold?query=a+b&threshold=1.5  all docs scoring >= cutoff
       GET /stats                           metadata-only index report
+
+    ``cache_size`` > 0 enables an LRU cache of that many responses on
+    the deterministic query routes (an index is immutable between
+    server restarts, so a repeated query is a dictionary hit instead
+    of a Spark job); /health, /metrics and /stats are never cached.
     """
     # Bind all request handling to a DEDICATED serving SparkSession
     # (engine.serving_clone): same SparkContext + shared cache, its own
@@ -136,8 +142,30 @@ def make_server(
     import threading
 
     metrics_lock = threading.Lock()
-    metrics: dict = {"routes": {}, "errors": 0}
+    metrics: dict = {"routes": {}, "errors": 0, "cache_hits": 0}
     _LAT_KEEP = 1024
+
+    from collections import OrderedDict
+
+    cache_lock = threading.Lock()
+    cache: OrderedDict = OrderedDict()
+    _CACHEABLE = {
+        "/search", "/autocomplete", "/suggest",
+        "/phrase", "/proximity", "/threshold",
+    }
+
+    def _cache_get(key):
+        with cache_lock:
+            if key in cache:
+                cache.move_to_end(key)
+                return cache[key]
+        return None
+
+    def _cache_put(key, val) -> None:
+        with cache_lock:
+            cache[key] = val
+            while len(cache) > cache_size:
+                cache.popitem(last=False)
 
     def _record(route: str, ms: float, ok: bool) -> None:
         with metrics_lock:
@@ -154,7 +182,11 @@ def make_server(
 
     def _metrics_snapshot() -> dict:
         with metrics_lock:
-            out = {"errors": metrics["errors"], "routes": {}}
+            out = {
+                "errors": metrics["errors"],
+                "cache_hits": metrics["cache_hits"],
+                "routes": {},
+            }
             for route, r in metrics["routes"].items():
                 lat = sorted(r["lat_ms"])
                 out["routes"][route] = {
@@ -173,6 +205,9 @@ def make_server(
             pass
 
         def _json(self, code: int, payload) -> None:
+            key = getattr(self, "_cache_key", None)
+            if key is not None and code == 200:
+                _cache_put(key, payload)
             body = json.dumps(payload).encode("utf-8")
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -195,6 +230,16 @@ def make_server(
             u = urlparse(self.path)
             q = {k: v[0] for k, v in parse_qs(u.query).items()}
             t0 = _time.perf_counter()
+            self._cache_key = None
+            if cache_size > 0 and u.path in _CACHEABLE:
+                hit = _cache_get(self.path)
+                if hit is not None:
+                    self._json(200, hit)
+                    with metrics_lock:
+                        metrics["cache_hits"] += 1
+                    _record(u.path, (_time.perf_counter() - t0) * 1000, True)
+                    return
+                self._cache_key = self.path
             try:
                 self._dispatch(u, q)
                 _record(u.path, (_time.perf_counter() - t0) * 1000, True)

@@ -27,6 +27,11 @@ def main():
         "(defaults to <index>/blocked when present)",
     )
     ap.add_argument(
+        "--cache", type=int, default=0, metavar="N",
+        help="LRU-cache up to N responses on the deterministic query "
+        "routes (the index is immutable while serving)",
+    )
+    ap.add_argument(
         "--version", type=int, default=None,
         help="serve a SNAPSHOT of a versioned index (save_versioned "
         "layout): --version N time-travels, omitting it serves the "
@@ -65,7 +70,10 @@ def main():
     blocked = args.blocked or os.path.join(args.index, "blocked")
     if not os.path.isdir(blocked.removeprefix("file://")):
         blocked = None
-    srv = make_server(eng, args.host, args.port, blocked_path=blocked)
+    srv = make_server(
+        eng, args.host, args.port, blocked_path=blocked,
+        cache_size=args.cache,
+    )
     routes = "/search?query=  /autocomplete?prefix=  /health"
     if blocked:
         routes += "  /phrase?query=  /proximity?terms="

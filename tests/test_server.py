@@ -297,3 +297,30 @@ def test_metrics_route_counts_and_latencies(base_url):
     assert health["requests"] >= 2
     assert health["p50_ms"] is not None and health["p50_ms"] >= 0
     assert "/search" in body["routes"]
+
+
+@pytest.fixture(scope="module")
+def cached_url(engine):
+    srv = make_server(engine, "127.0.0.1", 0, cache_size=8)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_result_cache_hits_and_identical_bodies(cached_url):
+    """Second identical /search is a cache hit with a byte-identical
+    body; /health is never cached; a different query string misses."""
+    url = f"{cached_url}/search?query=search+engine+index&k=5"
+    _, a = _get(url)
+    _, m0 = _get(f"{cached_url}/metrics")
+    _, b = _get(url)
+    _, m1 = _get(f"{cached_url}/metrics")
+    assert a == b
+    assert m1["cache_hits"] == m0["cache_hits"] + 1
+    _get(f"{cached_url}/health")
+    _get(f"{cached_url}/health")
+    _, c = _get(f"{cached_url}/search?query=search+engine+index&k=3")
+    _, m2 = _get(f"{cached_url}/metrics")
+    assert m2["cache_hits"] == m1["cache_hits"]  # health/k=3 not hits
+    assert len(c["results"]) <= 3
