@@ -20,7 +20,11 @@ Entropy-coded audio and inter-frame video (MP3/MP4/H.264) still raise
 NotImplementedError in strict mode — those need codec libraries this
 environment doesn't ship — or produce a deterministic payload-derived
 fake in fake mode (used to exercise the 1->N frame-sampling shape and
-batch plumbing).
+batch plumbing). Their CONTAINER metadata is parsed for real, though:
+``mp4_metadata`` (ISO-BMFF box walk: brand, movie duration, track
+handler types) and ``mp3_metadata`` (ID3v2 skip + frame-header walk:
+bitrate, sample rate, frame count, duration), surfaced as the
+Arrow-batched ``media_metadata`` operator.
 
 Asset table schema:
   asset_id: long, kind: string (image|audio|video), payload: binary,
@@ -898,3 +902,140 @@ def synth_assets(spark, n: int = 30, seed: int = 42) -> DataFrame:
         )
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, ASSETS_SCHEMA)
+
+
+# -- A/V container metadata (no frame decode) -----------------------------
+
+def mp4_metadata(payload: bytes) -> dict:
+    """ISO-BMFF (MP4/MOV) box walk: brand, movie duration and track
+    handler types from ftyp/mvhd/hdlr — the metadata a corpus profile
+    needs, without touching the (H.264 etc.) sample data whose decode
+    honestly raises elsewhere. Handles 64-bit largesize and
+    size=0-to-EOF boxes."""
+    out = {"format": "mp4", "brand": None, "duration_s": None, "tracks": []}
+
+    def walk(pos: int, end: int, depth: int = 0) -> None:
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", payload, pos)
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:  # 64-bit largesize follows the type
+                (size,) = struct.unpack_from(">Q", payload, pos + 8)
+                body = pos + 16
+            elif size == 0:  # to end of enclosing scope
+                size = end - pos
+            if size < 8 or pos + size > end:
+                raise ValueError("truncated MP4 box")
+            if btype == b"ftyp":
+                out["brand"] = payload[body : body + 4].decode("latin-1")
+            elif btype == b"mvhd":
+                ver = payload[body]
+                if ver == 1:
+                    ts, dur = struct.unpack_from(">IQ", payload, body + 4 + 16)
+                else:
+                    ts, dur = struct.unpack_from(">II", payload, body + 4 + 8)
+                if ts:
+                    out["duration_s"] = round(dur / ts, 3)
+            elif btype == b"hdlr":
+                out["tracks"].append(
+                    payload[body + 8 : body + 12].decode("latin-1")
+                )
+            elif btype in (b"moov", b"trak", b"mdia") and depth < 8:
+                walk(body, pos + size, depth + 1)
+            pos += size
+
+    walk(0, len(payload))
+    if out["brand"] is None and not out["tracks"]:
+        raise ValueError("no MP4 structure found")
+    return out
+
+
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_RATES = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000), 0: (11025, 12000, 8000)}
+
+
+def mp3_metadata(payload: bytes) -> dict:
+    """MPEG audio (Layer III) stream metadata: skip an ID3v2 tag,
+    parse frame headers (version/bitrate/samplerate), count frames and
+    sum their durations. Header-walk only — the entropy-coded audio
+    itself still raises in the decode path."""
+    pos = 0
+    if payload[:3] == b"ID3":  # syncsafe 28-bit size after 6-byte header
+        sz = 0
+        for b in payload[6:10]:
+            sz = (sz << 7) | (b & 0x7F)
+        pos = 10 + sz
+    frames, duration = 0, 0.0
+    first = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xE0) != 0xE0:
+            pos += 1
+            continue
+        ver = (payload[pos + 1] >> 3) & 0x3   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (payload[pos + 1] >> 1) & 0x3  # 1 = Layer III
+        br_i = (payload[pos + 2] >> 4) & 0xF
+        sr_i = (payload[pos + 2] >> 2) & 0x3
+        pad = (payload[pos + 2] >> 1) & 0x1
+        if ver == 1 or layer != 1 or br_i in (0, 15) or sr_i == 3:
+            pos += 1
+            continue
+        bitrate = (
+            _MP3_BITRATES_V1L3 if ver == 3 else _MP3_BITRATES_V2L3
+        )[br_i] * 1000
+        sr = _MP3_RATES[ver][sr_i]
+        spf = 1152 if ver == 3 else 576
+        flen = spf // 8 * bitrate // sr + pad
+        if flen <= 4:
+            pos += 1
+            continue
+        if first is None:
+            first = {"bitrate": bitrate, "sample_rate": sr,
+                     "mpeg_version": {3: 1, 2: 2, 0: 25}[ver]}
+        frames += 1
+        duration += spf / sr
+        pos += flen
+    if first is None:
+        raise ValueError("no MPEG audio frames found")
+    return {"format": "mp3", "n_frames": frames,
+            "duration_s": round(duration, 3), **first}
+
+
+def media_metadata(assets: DataFrame) -> DataFrame:
+    """(asset_id, payload) -> container metadata for MP4/MP3 payloads,
+    sniffed by magic bytes (never by declared type). Arrow-batched like
+    the other media ops; one row per parseable asset, with the fields
+    JSON-encoded so the schema stays stable across formats."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        for pdf in batches:
+            ids, fmts, durs, metas = [], [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    if len(data) > 8 and data[4:8] == b"ftyp":
+                        m = mp4_metadata(data)
+                    elif data[:3] == b"ID3" or (
+                        len(data) > 1 and data[0] == 0xFF
+                        and (data[1] & 0xE0) == 0xE0
+                    ):
+                        m = mp3_metadata(data)
+                    else:
+                        continue
+                except ValueError:
+                    continue
+                ids.append(aid)
+                fmts.append(m.pop("format"))
+                durs.append(m.pop("duration_s"))
+                metas.append(_json.dumps(m, sort_keys=True))
+            yield pd.DataFrame(
+                {"asset_id": pd.Series(ids, dtype="int64"),
+                 "format": pd.Series(fmts, dtype="object"),
+                 "duration_s": pd.Series(durs, dtype="float64"),
+                 "detail": pd.Series(metas, dtype="object")}
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        run, schema="asset_id long, format string, duration_s double, detail string"
+    )

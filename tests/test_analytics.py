@@ -1490,3 +1490,73 @@ def test_curate_corpus_gate_attribution(spark, tmp_path):
         assert r["keep"] == (
             r["ok_quality"] and r["ok_lang"] and r["ok_dedup"] and r["ok_ppl"]
         )
+
+
+def _mp4_box(btype, body):
+    import struct as _s
+
+    return _s.pack(">I", 8 + len(body)) + btype + body
+
+
+def test_mp4_and_mp3_container_metadata():
+    import struct as _s
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        mp3_metadata,
+        mp4_metadata,
+    )
+
+    # mvhd v0: version/flags + creation + modification + timescale=1000
+    # + duration=2500 (2.5 s) + the rate/volume/matrix tail (zeros)
+    mvhd = _mp4_box(
+        b"mvhd", bytes(4) + bytes(8) + _s.pack(">II", 1000, 2500) + bytes(80)
+    )
+    hdlr_v = _mp4_box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    hdlr_s = _mp4_box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    trak_v = _mp4_box(b"trak", _mp4_box(b"mdia", hdlr_v))
+    trak_s = _mp4_box(b"trak", _mp4_box(b"mdia", hdlr_s))
+    moov = _mp4_box(b"moov", mvhd + trak_v + trak_s)
+    ftyp = _mp4_box(b"ftyp", b"isom" + bytes(8))
+    got = mp4_metadata(ftyp + moov)
+    assert got["brand"] == "isom"
+    assert got["duration_s"] == 2.5
+    assert got["tracks"] == ["vide", "soun"]
+
+    # MPEG1 Layer III 128 kbps 44100 Hz: header FF FB 90 00,
+    # frame length 144*128000/44100 = 417 bytes
+    frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    id3 = b"ID3" + bytes([3, 0, 0]) + bytes([0, 0, 0, 10]) + bytes(10)
+    got = mp3_metadata(id3 + frame * 5)
+    assert got["n_frames"] == 5
+    assert got["bitrate"] == 128000 and got["sample_rate"] == 44100
+    assert got["mpeg_version"] == 1
+    assert got["duration_s"] == round(5 * 1152 / 44100, 3)
+
+
+def test_media_metadata_operator_sniffs_by_magic(spark):
+    """MP4 and MP3 payloads surface container metadata; garbage rows
+    drop out; sniffing is by magic bytes, not the kind column."""
+    import json as _json
+    import struct as _s
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        ASSETS_SCHEMA,
+        media_metadata,
+    )
+
+    mvhd = _mp4_box(
+        b"mvhd", bytes(4) + bytes(8) + _s.pack(">II", 600, 1200) + bytes(80)
+    )
+    mp4 = _mp4_box(b"ftyp", b"mp42" + bytes(8)) + _mp4_box(b"moov", mvhd)
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)
+    rows = [
+        (0, "video", mp4, {}),
+        (1, "audio", mp3 * 3, {}),
+        (2, "video", b"garbage-not-a-container", {}),
+    ]
+    df = spark.createDataFrame(rows, ASSETS_SCHEMA)
+    got = {r["asset_id"]: r.asDict() for r in media_metadata(df).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["format"] == "mp4" and got[0]["duration_s"] == 2.0
+    assert got[1]["format"] == "mp3"
+    assert _json.loads(got[1]["detail"])["sample_rate"] == 44100
