@@ -360,3 +360,49 @@ def test_warc_media_assets_end_to_end(spark, tmp_path):
     assert len(aud) == 1 and aud[0]["sample_rate"] == 8000
     frames = sample_frames(assets, every_n=2, fake=False).collect()
     assert [r["frame_idx"] for r in frames] == [0, 2]
+
+
+def test_warc_media_assets_sniffs_mp4_and_mp3(spark, tmp_path):
+    """ISO-BMFF and MPEG-audio payloads land in the asset table (video/
+    audio) and media_metadata parses their containers end-to-end from
+    the archive."""
+    import datetime
+    import struct
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        media_metadata,
+    )
+    from google_like_search_engine_spark.sources.warc import (
+        warc_media_assets,
+        write_warc,
+    )
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = box(
+        b"mvhd", bytes(4) + bytes(8) + struct.pack(">II", 100, 450) + bytes(80)
+    )
+    mp4 = box(b"ftyp", b"isom" + bytes(8)) + box(b"moov", mvhd)
+    mp3 = (bytes([0xFF, 0xFB, 0x90, 0x00]) + bytes(413)) * 2
+    ts = datetime.datetime(2026, 2, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        ("http://m.example/clip.mp4", ts, mp4),
+        ("http://m.example/song.mp3", ts, mp3),
+        ("http://m.example/page.html", ts, b"<html>not media</html>"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary"
+    )
+    out = str(tmp_path / "warc_av")
+    write_warc(pages, out)
+
+    assets = warc_media_assets(spark, out)
+    got = {r["meta"]["url"]: r["kind"] for r in assets.collect()}
+    assert got == {
+        "http://m.example/clip.mp4": "video",
+        "http://m.example/song.mp3": "audio",
+    }
+    meta = {r["format"]: r for r in media_metadata(assets).collect()}
+    assert meta["mp4"]["duration_s"] == 4.5
+    assert meta["mp3"]["duration_s"] == round(2 * 1152 / 44100, 3)
