@@ -10,6 +10,9 @@ outputs under --out:
   image_features/   (asset_id, width, height, channels, features)
   audio_features/   (asset_id, sample_rate, n_samples, features)
   frames/           (asset_id, frame_idx, frame) — sampled video frames
+  container_metadata/  (asset_id, format, duration_s, detail) for
+                    MP4/MPEG-audio assets, whose frame decode has no
+                    pure-Python codec — metadata instead of a crash
 
 ``--fake`` switches the decoders to the deterministic fake path for
 formats without a pure-Python codec (strict mode raises on those).
@@ -39,6 +42,7 @@ def main():
     from google_like_search_engine_spark.analytics.multimodal import (
         audio_features,
         image_features,
+        media_metadata,
         sample_frames,
     )
     from google_like_search_engine_spark.session import get_spark
@@ -53,13 +57,29 @@ def main():
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    image_features(assets, fake=args.fake).write.mode("overwrite").parquet(
+    # container-only formats (MP4 / MPEG audio): metadata, not decode —
+    # strict-mode feature extraction on them would raise by design
+    b = F.col("payload")
+    is_container = (
+        (F.substring(b, 5, 4) == F.lit(b"ftyp"))
+        | (F.substring(b, 1, 3) == F.lit(b"ID3"))
+        | (
+            (F.substring(b, 1, 1) == F.lit(b"\xff"))
+            & (F.substring(b, 2, 1) >= F.lit(b"\xe0"))
+        )
+    )
+    decodable = assets.where(~is_container)
+    container = assets.where(is_container)
+    media_metadata(container).write.mode("overwrite").parquet(
+        f"{args.out}/container_metadata"
+    )
+    image_features(decodable, fake=args.fake).write.mode("overwrite").parquet(
         f"{args.out}/image_features"
     )
-    audio_features(assets, fake=args.fake).write.mode("overwrite").parquet(
+    audio_features(decodable, fake=args.fake).write.mode("overwrite").parquet(
         f"{args.out}/audio_features"
     )
-    sample_frames(assets, every_n=args.every_n, fake=args.fake).write.mode(
+    sample_frames(decodable, every_n=args.every_n, fake=args.fake).write.mode(
         "overwrite"
     ).parquet(f"{args.out}/frames")
     assets.unpersist()
