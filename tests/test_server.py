@@ -324,3 +324,46 @@ def test_result_cache_hits_and_identical_bodies(cached_url):
     _, m2 = _get(f"{cached_url}/metrics")
     assert m2["cache_hits"] == m1["cache_hits"]  # health/k=3 not hits
     assert len(c["results"]) <= 3
+
+
+def test_curate_index_serve_user_journey(spark, tmp_path):
+    """The full pipeline a corpus user runs, composed end to end over
+    the real testdata corpus (the curation gates are corpus-tuned):
+    curate, index only the survivors, serve over HTTP, and every
+    ranked result is a survivor."""
+    from google_like_search_engine_spark.catalog import load
+    from google_like_search_engine_spark.catalog_text import curate_corpus
+
+    sf = "/root/testdata/sf0.001"
+    audit = curate_corpus(spark, sf)
+    kept_ids = audit.where("keep").select("doc_id")
+    n_kept = kept_ids.count()
+    assert 0 < n_kept < 500  # every gate did real work
+
+    kept_pages = (
+        load(spark, sf, "documents")
+        .join(kept_ids, "doc_id", "left_semi")
+        .select(
+            F.concat(F.lit("http://corpus/"), F.col("doc_id")).alias("url"),
+            "text",
+            "lang",
+        )
+    )
+    eng = SearchEngine(spark).build(kept_pages, run_pagerank=False)
+    assert eng.enable_serving()
+    kept_urls = {r["url"] for r in kept_pages.select("url").collect()}
+    srv = make_server(eng, "127.0.0.1", 0, cache_size=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        _, comp = _get(f"{base}/autocomplete?prefix=s&k=1")
+        term = comp["completions"][0]["term"]
+        code, body = _get(f"{base}/search?query={term}&k=10")
+        assert code == 200 and body["results"]
+        assert {r["url"] for r in body["results"]} <= kept_urls
+        _, m = _get(f"{base}/metrics")
+        assert m["routes"]["/search"]["requests"] == 1
+    finally:
+        srv.shutdown()
+    eng.unpersist()
