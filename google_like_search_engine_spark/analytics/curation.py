@@ -96,8 +96,12 @@ def bigram_lm_nll(
     """
     a = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     toks = df.select(F.col(key_col).alias("k"), a.alias("a"))
-    vocab_n = (
-        toks.select(F.explode("a").alias("w")).agg(F.countDistinct("w")).collect()[0][0]
+    # vocabulary size as a broadcast 1-row relation (the SQL twin's
+    # CROSS JOIN v) — the whole expression stays lazy; composing the
+    # relation never runs a corpus scan
+    vocab = (
+        toks.select(F.explode("a").alias("w"))
+        .agg(F.countDistinct("w").alias("__v"))
     )
     n = F.size("a")
     big = (
@@ -118,10 +122,11 @@ def bigram_lm_nll(
     scored = (
         big.join(bc, ["w1", "w2"])
         .join(cc, ["w1"])
+        .crossJoin(F.broadcast(vocab))
         .select(
             "k",
             F.round(
-                -F.log((F.col("c") + 1.0) / (F.col("n_ctx") + F.lit(vocab_n))), 4
+                -F.log((F.col("c") + 1.0) / (F.col("n_ctx") + F.col("__v"))), 4
             ).alias("nll_r"),
         )
     )

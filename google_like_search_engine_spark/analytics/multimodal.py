@@ -906,6 +906,36 @@ def synth_assets(spark, n: int = 30, seed: int = 42) -> DataFrame:
 
 # -- A/V container metadata (no frame decode) -----------------------------
 
+# Container sniffing lives HERE, once, in both forms (Python for the
+# Arrow batch, Column expressions for JVM-side scans) — the WARC bridge
+# and the media CLI import these so the three call sites can't drift.
+
+def sniff_isobmff(data: bytes) -> bool:
+    """ISO-BMFF (MP4/MOV): 'ftyp' box type at offset 4."""
+    return len(data) > 8 and data[4:8] == b"ftyp"
+
+
+def sniff_mpeg_audio(data: bytes) -> bool:
+    """MPEG audio: ID3v2 tag or a bare frame syncword (0xFF 0xEx)."""
+    return data[:3] == b"ID3" or (
+        len(data) > 1 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    )
+
+
+def isobmff_magic(col) -> "F.Column":
+    """Column twin of sniff_isobmff."""
+    return F.substring(col, 5, 4) == F.lit(b"ftyp")
+
+
+def mpeg_audio_magic(col) -> "F.Column":
+    """Column twin of sniff_mpeg_audio (binary columns compare
+    lexicographically UNSIGNED, so >= 0xE0 on the second byte works)."""
+    return (F.substring(col, 1, 3) == F.lit(b"ID3")) | (
+        (F.substring(col, 1, 1) == F.lit(b"\xff"))
+        & (F.substring(col, 2, 1) >= F.lit(b"\xe0"))
+    )
+
+
 def mp4_metadata(payload: bytes) -> dict:
     """ISO-BMFF (MP4/MOV) box walk: brand, movie duration and track
     handler types from ftyp/mvhd/hdlr — the metadata a corpus profile
@@ -1014,16 +1044,16 @@ def media_metadata(assets: DataFrame) -> DataFrame:
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 data = bytes(payload)
                 try:
-                    if len(data) > 8 and data[4:8] == b"ftyp":
+                    if sniff_isobmff(data):
                         m = mp4_metadata(data)
-                    elif data[:3] == b"ID3" or (
-                        len(data) > 1 and data[0] == 0xFF
-                        and (data[1] & 0xE0) == 0xE0
-                    ):
+                    elif sniff_mpeg_audio(data):
                         m = mp3_metadata(data)
                     else:
                         continue
-                except ValueError:
+                # sniffed-by-magic garbage must drop the row, never the
+                # task: truncated boxes raise struct.error/IndexError
+                # from fixed-offset reads, not just ValueError
+                except (ValueError, struct.error, IndexError):
                     continue
                 ids.append(aid)
                 fmts.append(m.pop("format"))

@@ -1064,6 +1064,35 @@ QUALITY_RULES = {
 }
 
 
+def _quality_checks():
+    """The Gopher-rule verdict columns over (n_tokens, mwl, sr, ttr)
+    feature columns — ONE definition shared by the batch filter and
+    its streaming twin (they share one oracle, so the rules must not
+    drift). Returns (checks dict, conjunction)."""
+    r = QUALITY_RULES
+    checks = {
+        "ok_len": (F.col("n_tokens") >= r["min_tokens"])
+        & (F.col("n_tokens") <= r["max_tokens"]),
+        "ok_mwl": (F.col("mwl") >= r["min_mean_word_len"])
+        & (F.col("mwl") <= r["max_mean_word_len"]),
+        "ok_stop": F.col("sr") >= r["min_stop_ratio"],
+        "ok_ttr": F.col("ttr") >= r["min_ttr"],
+    }
+    passed = (
+        checks["ok_len"] & checks["ok_mwl"] & checks["ok_stop"] & checks["ok_ttr"]
+    )
+    return checks, passed
+
+
+def _pred_en_agg():
+    """The stop-ratio English predictor as an aggregation column —
+    shared by lang_id_accuracy and the curation composite."""
+    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
+    return (
+        F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1)) > 0.05
+    )
+
+
 def quality_filter(spark, sf_dir):
     """Rule-based quality FILTER over the quality facets (the
     keep/drop decision a training-data pipeline applies after scoring):
@@ -1073,22 +1102,13 @@ def quality_filter(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
     toks = _tokens(docs)
-    r = QUALITY_RULES
     feats = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         (F.sum(F.length("w")) / F.count(F.lit(1))).alias("mwl"),
         (F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1))).alias("sr"),
         (F.countDistinct("w") / F.count(F.lit(1))).alias("ttr"),
     )
-    checks = {
-        "ok_len": (F.col("n_tokens") >= r["min_tokens"])
-        & (F.col("n_tokens") <= r["max_tokens"]),
-        "ok_mwl": (F.col("mwl") >= r["min_mean_word_len"])
-        & (F.col("mwl") <= r["max_mean_word_len"]),
-        "ok_stop": F.col("sr") >= r["min_stop_ratio"],
-        "ok_ttr": F.col("ttr") >= r["min_ttr"],
-    }
-    passed = checks["ok_len"] & checks["ok_mwl"] & checks["ok_stop"] & checks["ok_ttr"]
+    checks, passed = _quality_checks()
     return feats.select(
         "doc_id",
         "n_tokens",
@@ -1126,13 +1146,8 @@ def lang_id_accuracy(spark, sf_dir):
     the accuracy readout a pipeline tracks when it gates training data
     on predicted language."""
     docs = load(spark, sf_dir, "documents")
-    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
     toks = _tokens(docs)
-    feats = toks.groupBy("doc_id").agg(
-        (
-            F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1)) > 0.05
-        ).alias("pred_en")
-    )
+    feats = toks.groupBy("doc_id").agg(_pred_en_agg().alias("pred_en"))
     joined = feats.join(docs.select("doc_id", "lang"), "doc_id")
     return (
         joined.groupBy("lang", "pred_en")
@@ -1505,20 +1520,12 @@ def curate_corpus(spark, sf_dir):
     Scale: four independent aggregations over the same columnar scan
     joined back on doc_id — each is the operator's own 100 TB-safe
     plan, and the joins are co-partitioned on the doc key."""
-    stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
     docs = load(spark, sf_dir, "documents")
     q = quality_filter(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("ok_quality")
     )
     pred = (
-        _tokens(docs)
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum(F.expr(f"CAST(w IN ({stop}) AS INT)")) / F.count(F.lit(1))
-                > 0.05
-            ).alias("pred_en")
-        )
+        _tokens(docs).groupBy("doc_id").agg(_pred_en_agg().alias("pred_en"))
     )
     dk = dedup_keep_list(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("ok_dedup")
@@ -1757,7 +1764,6 @@ def streaming_quality_filter(spark, sf_dir):
     docs.write.mode("overwrite").parquet(f"{base}/in")
     src = spark.readStream.schema(docs.schema).parquet(f"{base}/in")
     stop = ", ".join(f"'{t}'" for t in STOP_TERMS)
-    r = QUALITY_RULES
     feats = src.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("a"),
@@ -1773,17 +1779,7 @@ def streaming_quality_filter(spark, sf_dir):
         ).alias("sr"),
         (F.size(F.array_distinct("a")) / F.size("a")).alias("ttr"),
     )
-    checks = {
-        "ok_len": (F.col("n_tokens") >= r["min_tokens"])
-        & (F.col("n_tokens") <= r["max_tokens"]),
-        "ok_mwl": (F.col("mwl") >= r["min_mean_word_len"])
-        & (F.col("mwl") <= r["max_mean_word_len"]),
-        "ok_stop": F.col("sr") >= r["min_stop_ratio"],
-        "ok_ttr": F.col("ttr") >= r["min_ttr"],
-    }
-    passed = (
-        checks["ok_len"] & checks["ok_mwl"] & checks["ok_stop"] & checks["ok_ttr"]
-    )
+    checks, passed = _quality_checks()
     out = feats.select(
         "doc_id",
         "n_tokens",

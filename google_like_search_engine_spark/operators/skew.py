@@ -47,6 +47,10 @@ def salted_join(
         "inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"
     ):
         raise ValueError(f"salted_join does not support how={how!r}")
+    if _SALT in left.columns or _SALT in right.columns:
+        # withColumn would silently overwrite the user's data and the
+        # final drop would delete it — refuse instead
+        raise ValueError(f"input already has a {_SALT!r} column")
     keys = [on] if isinstance(on, str) else list(on)
     spread = (
         salt_on

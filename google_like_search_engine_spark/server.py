@@ -86,7 +86,7 @@ document.getElementById('f').addEventListener('submit',async ev=>{
       const sr=await fetch('/suggest?q='+encodeURIComponent(w)+'&k=1');
       if(!sr.ok)continue; const sj=await sr.json();
       const best=(sj.suggestions||[])[0];
-      if(best&&best.term!=w)fixes.push(best.term);
+      if(best&&best.term!=w.toLowerCase())fixes.push(best.term);
     }
     s.textContent=fixes.length?'did you mean: '+fixes.join(' '):'no results';
     return;
@@ -144,6 +144,12 @@ def make_server(
     metrics_lock = threading.Lock()
     metrics: dict = {"routes": {}, "errors": 0, "cache_hits": 0}
     _LAT_KEEP = 1024
+    # arbitrary 404 paths bucket to "other" — a scanner must not grow
+    # the route table (and driver memory) without bound
+    _KNOWN_ROUTES = {
+        "/", "/health", "/metrics", "/search", "/autocomplete",
+        "/suggest", "/stats", "/phrase", "/proximity", "/threshold",
+    }
 
     from collections import OrderedDict
 
@@ -168,6 +174,8 @@ def make_server(
                 cache.popitem(last=False)
 
     def _record(route: str, ms: float, ok: bool) -> None:
+        if route not in _KNOWN_ROUTES:
+            route = "other"
         with metrics_lock:
             r = metrics["routes"].setdefault(
                 route, {"requests": 0, "lat_ms": []}

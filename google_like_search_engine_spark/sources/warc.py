@@ -297,18 +297,15 @@ def warc_media_assets(spark: SparkSession, path: str) -> DataFrame:
         | (F.substring(b, 1, 2) == F.lit(b"\xff\xd8"))
         | (F.substring(b, 1, 4) == F.lit(b"GIF8"))
     )
+    from ..analytics.multimodal import isobmff_magic, mpeg_audio_magic
+
+    # MPEG audio / ISO-BMFF: container metadata parses (media_metadata);
+    # frame decode honestly raises. One shared sniff definition.
     is_audio = (riff & (F.substring(b, 9, 4) == F.lit(b"WAVE"))) | (
-        # MPEG audio: ID3v2 tag or a bare frame syncword (0xFFEx) —
-        # container metadata parses; frame decode honestly raises
-        (F.substring(b, 1, 3) == F.lit(b"ID3"))
-        | (
-            (F.substring(b, 1, 1) == F.lit(b"\xff"))
-            # unsigned lexicographic binary compare: second byte >= 0xE0
-            & (F.substring(b, 2, 1) >= F.lit(b"\xe0"))
-        )
+        mpeg_audio_magic(b)
     )
     is_video = (riff & (F.substring(b, 9, 4) == F.lit(b"AVI "))) | (
-        F.substring(b, 5, 4) == F.lit(b"ftyp")  # ISO-BMFF (MP4/MOV)
+        isobmff_magic(b)
     )
     kind = (
         F.when(is_image, F.lit("image"))

@@ -61,15 +61,17 @@ def main() -> None:
     )
     kept.write.mode("overwrite").parquet(f"{args.out}/kept")
 
-    n_in = docs.count()
-    n_kept = spark.read.parquet(f"{args.out}/kept").count()
-    gates = {
-        g: audit.where(g).count()
-        for g in ["ok_quality", "ok_lang", "ok_dedup", "ok_ppl"]
-    }
+    from pyspark.sql import functions as F
+
+    gate_cols = ["ok_quality", "ok_lang", "ok_dedup", "ok_ppl", "keep"]
+    row = audit.agg(
+        F.count(F.lit(1)).alias("n_in"),
+        *[F.sum(F.col(g).cast("int")).alias(g) for g in gate_cols],
+    ).collect()[0]
     print(
-        f"curated {n_in} -> {n_kept} docs in {time.time() - t0:.1f}s; "
-        + ", ".join(f"{g}={n}" for g, n in gates.items())
+        f"curated {row['n_in']} -> {row['keep']} docs in "
+        f"{time.time() - t0:.1f}s; "
+        + ", ".join(f"{g}={row[g]}" for g in gate_cols[:-1])
     )
     spark.stop()
 

@@ -59,15 +59,13 @@ def main():
     }
     # container-only formats (MP4 / MPEG audio): metadata, not decode —
     # strict-mode feature extraction on them would raise by design
-    b = F.col("payload")
-    is_container = (
-        (F.substring(b, 5, 4) == F.lit(b"ftyp"))
-        | (F.substring(b, 1, 3) == F.lit(b"ID3"))
-        | (
-            (F.substring(b, 1, 1) == F.lit(b"\xff"))
-            & (F.substring(b, 2, 1) >= F.lit(b"\xe0"))
-        )
+    from google_like_search_engine_spark.analytics.multimodal import (
+        isobmff_magic,
+        mpeg_audio_magic,
     )
+
+    b = F.col("payload")
+    is_container = isobmff_magic(b) | mpeg_audio_magic(b)
     decodable = assets.where(~is_container)
     container = assets.where(is_container)
     media_metadata(container).write.mode("overwrite").parquet(

@@ -1560,3 +1560,25 @@ def test_media_metadata_operator_sniffs_by_magic(spark):
     assert got[0]["format"] == "mp4" and got[0]["duration_s"] == 2.0
     assert got[1]["format"] == "mp3"
     assert _json.loads(got[1]["detail"])["sample_rate"] == 44100
+
+
+def test_media_metadata_drops_truncated_containers(spark):
+    """Sniffed-by-magic garbage must drop the row, never the task: a
+    'ftyp'-bearing payload whose mvhd is truncated raises struct.error
+    inside the parser and the operator skips it."""
+    import struct as _s
+
+    from google_like_search_engine_spark.analytics.multimodal import (
+        ASSETS_SCHEMA,
+        media_metadata,
+    )
+
+    # two boxes that pass the size checks but truncate mvhd's fields
+    bad = (
+        _s.pack(">I", 16) + b"ftyp" + bytes(8)
+        + _s.pack(">I", 16) + b"mvhd" + bytes(8)
+    )
+    bare_sync = bytes([0xFF, 0xE1])  # MP3 syncword, nothing behind it
+    rows = [(0, "video", bad, {}), (1, "audio", bare_sync, {})]
+    df = spark.createDataFrame(rows, ASSETS_SCHEMA)
+    assert media_metadata(df).count() == 0

@@ -155,3 +155,16 @@ def test_salted_join_rejects_right_preserving_types(spark):
     for how in ("right", "full", "full_outer"):
         with _pt.raises(ValueError):
             salted_join(df, df, "k", how=how)
+
+
+def test_salted_join_refuses_salt_column_collision(spark):
+    import pytest as _pt
+
+    from google_like_search_engine_spark.operators.skew import salted_join
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    bad = df.withColumn("__salt", df["k"])
+    with _pt.raises(ValueError):
+        salted_join(bad, df, "k")
+    with _pt.raises(ValueError):
+        salted_join(df, bad, "k")

@@ -367,3 +367,13 @@ def test_curate_index_serve_user_journey(spark, tmp_path):
     finally:
         srv.shutdown()
     eng.unpersist()
+
+
+def test_metrics_unknown_paths_bucket_to_other(base_url):
+    """A scanner probing distinct 404 paths must not grow the route
+    table: they all land in one 'other' bucket."""
+    for i in range(5):
+        _get_allow_error(f"{base_url}/scan{i}")
+    _, m = _get(f"{base_url}/metrics")
+    assert not any(r.startswith("/scan") for r in m["routes"])
+    assert m["routes"]["other"]["requests"] >= 5
