@@ -627,6 +627,136 @@ class SearchEngine:
             },
         }
 
+    def fsck_blocked(self, index_path: str, deep: bool = False) -> dict:
+        """Integrity check (fsck) over a blocked index: every invariant
+        the serving path relies on, verified DISTRIBUTED (violation
+        counts via aggregations — no driver-side row loops, so the
+        check scales with the index like any other job):
+
+        - block shape: n_docs == len(doc_offs) == len(tfs), offsets
+          strictly increasing and < span, max_tf == max(tfs);
+        - partition layout: term_bucket matches pmod(xxhash64(term));
+        - term_stats sidecar agrees with block metadata (df, max_tf);
+        - doc_stats_idx doc_index is dense 0..N-1 and every doc a block
+          references exists;
+        - meta sidecar totals match doc_stats_idx;
+        - with ``deep=True``: Arrow-batched varint decode of every blob
+          cross-checked against the columnar arrays (the two physical
+          representations must agree byte-for-byte).
+
+        Returns {"ok": bool, "checks": {name: violation_count}, ...}.
+        """
+        from .compression import decode_block
+
+        spark = self.spark
+        blocks = spark.read.parquet(f"{index_path}/blocks")
+        dsi = spark.read.parquet(f"{index_path}/doc_stats_idx")
+        meta = spark.read.parquet(f"{index_path}/meta").collect()[0]
+
+        offs_ok = F.expr(
+            "size(doc_offs) = n_docs AND size(tfs) = n_docs "
+            "AND array_max(tfs) = max_tf "
+            "AND array_max(doc_offs) < span AND array_min(doc_offs) >= 0"
+        )
+        sorted_ok = F.expr(
+            "doc_offs = array_sort(doc_offs) "
+            "AND size(array_distinct(doc_offs)) = n_docs"
+        )
+        bucket_ok = F.col("term_bucket") == F.pmod(
+            F.xxhash64("term"), F.lit(TERM_BUCKETS)
+        )
+        bad = blocks.agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum((~offs_ok).cast("int")).alias("bad_block_shape"),
+            F.sum((~sorted_ok).cast("int")).alias("bad_doc_order"),
+            F.sum((~bucket_ok).cast("int")).alias("bad_term_bucket"),
+        ).collect()[0]
+        checks = {
+            "bad_block_shape": int(bad["bad_block_shape"] or 0),
+            "bad_doc_order": int(bad["bad_doc_order"] or 0),
+            "bad_term_bucket": int(bad["bad_term_bucket"] or 0),
+        }
+
+        ts = spark.read.parquet(f"{index_path}/term_stats")
+        from_blocks = blocks.groupBy("term").agg(
+            F.sum("n_docs").alias("b_df"), F.max("max_tf").alias("b_max_tf")
+        )
+        checks["bad_term_stats"] = (
+            ts.join(from_blocks, "term", "full_outer")
+            .where(
+                F.col("b_df").isNull() | F.col("df").isNull()
+                | (F.col("df") != F.col("b_df"))
+                | (F.col("max_tf") != F.col("b_max_tf"))
+            )
+            .count()
+        )
+
+        d = dsi.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_index").alias("n_distinct"),
+            F.min("doc_index").alias("lo"),
+            F.max("doc_index").alias("hi"),
+            F.avg("n_term_entries").alias("avgdl"),
+        ).collect()[0]
+        n = int(d["n"] or 0)
+        checks["bad_doc_index_density"] = int(
+            not (
+                n == int(d["n_distinct"] or 0)
+                and (n == 0 or (int(d["lo"]) == 0 and int(d["hi"]) == n - 1))
+            )
+        )
+        checks["bad_meta_totals"] = int(
+            int(meta["total_documents"]) != n
+            or (n > 0 and abs(float(meta["avgdl"]) - float(d["avgdl"])) > 1e-9)
+        )
+        referenced = blocks.select(
+            F.explode(F.expr("transform(doc_offs, o -> base + o)")).alias(
+                "doc_index"
+            )
+        ).distinct()
+        checks["dangling_doc_refs"] = referenced.join(
+            dsi.select("doc_index"), "doc_index", "left_anti"
+        ).count()
+
+        if deep:
+            import pandas as pd
+
+            def verify(batches):
+                for pdf in batches:
+                    n_bad = 0
+                    for base, offs, tfs_a, blob in zip(
+                        pdf["base"], pdf["doc_offs"], pdf["tfs"], pdf["block"]
+                    ):
+                        try:
+                            d_idx, d_tfs, _pos = decode_block(
+                                bytes(blob), int(base)
+                            )
+                        except Exception:
+                            n_bad += 1
+                            continue
+                        want = [int(base) + int(o) for o in offs]
+                        if d_idx != want or [int(t) for t in d_tfs] != [
+                            int(t) for t in tfs_a
+                        ]:
+                            n_bad += 1
+                    yield pd.DataFrame({"n_bad": [n_bad]})
+
+            checks["bad_blob_decode"] = int(
+                blocks.select("base", "doc_offs", "tfs", "block")
+                .mapInPandas(verify, schema="n_bad long")
+                .agg(F.sum("n_bad"))
+                .collect()[0][0]
+                or 0
+            )
+
+        return {
+            "ok": all(v == 0 for v in checks.values()),
+            "n_blocks": int(bad["n_blocks"] or 0),
+            "total_documents": n,
+            "deep": deep,
+            "checks": checks,
+        }
+
     def load(self, path: str, with_pageranks: bool = True) -> "SearchEngine":
         self._loaded_path = path
         self.postings = self.spark.read.parquet(f"{path}/postings").persist()

@@ -376,3 +376,41 @@ def test_versioned_index_save_load_time_travel(spark, tmp_path):
     eng.unpersist()
     old.unpersist()
     new.unpersist()
+
+
+def test_fsck_blocked_clean_and_corrupted(spark, tmp_path):
+    """A freshly-saved blocked index passes every check incl. the deep
+    blob/columnar cross-check; corrupting the term_stats sidecar is
+    caught with an exact violation count and flips ok to False."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.corpus import generate_pages
+    from google_like_search_engine_spark.engine import SearchEngine
+
+    pages = generate_pages(spark, 60).where(F.col("lang") == "en")
+    eng = SearchEngine(spark).build(pages, run_pagerank=False)
+    out = str(tmp_path / "blocked")
+    eng.save_blocked(out)
+
+    report = eng.fsck_blocked(out, deep=True)
+    assert report["ok"], report
+    assert report["checks"]["bad_blob_decode"] == 0
+    assert report["n_blocks"] > 0 and report["total_documents"] > 0
+
+    # corrupt: bump df for one term in the sidecar
+    ts = spark.read.parquet(f"{out}/term_stats")
+    bad = ts.withColumn(
+        "df",
+        F.when(F.col("term") == ts.limit(1).collect()[0]["term"],
+               F.col("df") + 1).otherwise(F.col("df")),
+    )
+    bad.write.mode("overwrite").parquet(str(tmp_path / "ts2"))
+    spark.read.parquet(str(tmp_path / "ts2")).write.mode("overwrite").parquet(
+        f"{out}/term_stats"
+    )
+    report2 = eng.fsck_blocked(out)
+    assert not report2["ok"]
+    assert report2["checks"]["bad_term_stats"] == 1
+    assert sum(v for k, v in report2["checks"].items()
+               if k != "bad_term_stats") == 0
+    eng.unpersist()
