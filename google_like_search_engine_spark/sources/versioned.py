@@ -598,6 +598,54 @@ class VersionedTable:
             "rows": rows,
         }
 
+    def verify(self, version: int | None = None) -> dict:
+        """Integrity check (fsck) for a snapshot: every manifest-listed
+        data file exists; re-harvested parquet footers agree with the
+        recorded row counts and min/max stats (the numbers pruning
+        decisions trust); no orphan parquet files sit in the snapshot
+        dir outside the manifest. Footer reads are pyarrow metadata
+        only — zero Spark jobs, like the harvest itself.
+
+        Returns {"ok": bool, "checks": {...violation counts...}}.
+        """
+        m = self._read_manifest()
+        v = m["current"] if version is None else version
+        snap_dir = self.snapshot_dir(v)
+        meta = m.get("meta", {}).get(str(v)) or {}
+        listed = meta.get("files") or []
+        stats_cols = meta.get("stats_cols") or []
+        fs = _fs(self.spark, snap_dir)
+        checks = {
+            "missing_files": 0,
+            "bad_row_counts": 0,
+            "bad_stats": 0,
+            "orphan_files": 0,
+        }
+        for f in listed:
+            p = _jpath(self.spark, f"{snap_dir}/{f['path']}")
+            if not fs.exists(p):
+                checks["missing_files"] += 1
+                continue
+            if f.get("rows") is None and not stats_cols:
+                continue  # statless profile: nothing recorded to compare
+            rows, stats = self._harvest_stats(
+                snap_dir, f["path"], list(stats_cols)
+            )
+            if rows is None:
+                continue  # non-local FS: footers unreadable here
+            if f.get("rows") is not None and rows != f["rows"]:
+                checks["bad_row_counts"] += 1
+            if stats != (f.get("stats") or {}):
+                checks["bad_stats"] += 1
+        on_disk = set(self._list_data_files(snap_dir))
+        checks["orphan_files"] = len(on_disk - {f["path"] for f in listed})
+        return {
+            "ok": all(c == 0 for c in checks.values()),
+            "version": v,
+            "n_files": len(listed),
+            "checks": checks,
+        }
+
     def expire_snapshots(self, keep_last: int = 2) -> list:
         """Drop all but the newest ``keep_last`` snapshots (data dirs
         deleted, manifest rewritten). Returns the expired ids. Readers

@@ -7,6 +7,7 @@ snapshots, dry-run a pruned scan plan.
   python scripts/table_admin.py compact  --table T [--target-rows N]
   python scripts/table_admin.py expire   --table T [--keep-last K]
   python scripts/table_admin.py plan     --table T --where col=5 [--where col2>=10]
+  python scripts/table_admin.py verify   --table T   (fsck; exit 1 on violations)
 
 The maintenance loop a streaming/incremental writer needs: drains and
 merges leave many small files; `compact` rewrites the current snapshot
@@ -49,7 +50,7 @@ def _parse_where(raw: list) -> list:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["history", "compact", "expire", "plan"])
+    ap.add_argument("cmd", choices=["history", "compact", "expire", "plan", "verify"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--target-rows", type=int, default=1_000_000)
     ap.add_argument("--keep-last", type=int, default=2)
@@ -77,6 +78,12 @@ def main():
     elif args.cmd == "plan":
         plan = t.plan_files(_parse_where(args.where))
         print(json.dumps(plan))
+    elif args.cmd == "verify":
+        report = t.verify()
+        print(json.dumps(report))
+        if not report["ok"]:
+            spark.stop()
+            sys.exit(1)
     spark.stop()
 
 

@@ -347,3 +347,30 @@ class TestVersionedTableV3:
             VersionedTable.write_snapshot = orig
         # the concurrent writer's snapshot is intact and current
         assert {r["v"] for r in t.read().collect()} == {"concurrent"}
+
+
+def test_versioned_verify_clean_and_tampered(spark, tmp_path):
+    """verify() passes a fresh snapshot (files, footer row counts and
+    stats all agree with the manifest) and pinpoints tampering: a
+    deleted data file and an orphan dropped beside it."""
+    import os
+    import shutil
+
+    from google_like_search_engine_spark.sources.versioned import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    v = t.write_snapshot(df, stats_cols=["id"])
+    report = t.verify()
+    assert report["ok"] and report["version"] == v and report["n_files"] > 0
+
+    snap = t.snapshot_dir(v)
+    files = sorted(
+        f for f in os.listdir(snap) if f.endswith(".parquet")
+    )
+    shutil.copy(os.path.join(snap, files[0]), os.path.join(snap, "orphan.parquet"))
+    os.remove(os.path.join(snap, files[0]))
+    report2 = t.verify()
+    assert not report2["ok"]
+    assert report2["checks"]["missing_files"] == 1
+    assert report2["checks"]["orphan_files"] == 1
