@@ -1796,3 +1796,81 @@ def streaming_quality_filter(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+BOOLEAN_QUERY = "(spark OR vector) AND scan AND NOT dup"
+
+
+def _bool_sql_expr(node) -> str:
+    """Compile the boolean AST to the oracle's SQL predicate over the
+    same has_<term> flags — one compiler per target, one AST, so the
+    Spark filter and the oracle can't drift."""
+    if node.op == "term":
+        return f"has_{node.args}"
+    if node.op == "not":
+        return f"(NOT {_bool_sql_expr(node.args)})"
+    j = " AND " if node.op == "and" else " OR "
+    return "(" + j.join(_bool_sql_expr(a) for a in node.args) + ")"
+
+
+def boolean_search(spark, sf_dir, query: str = BOOLEAN_QUERY):
+    """Boolean retrieval with a real query language — AND/OR/NOT and
+    parentheses (functions.library.parse_boolean_query) — evaluated as
+    ONE aggregation producing per-document term-presence flags plus a
+    single compiled filter Column. No per-operator set joins: the plan
+    is a term-filtered scan, one groupBy(doc), one filter, whatever
+    the clause count — the shape that survives 10^12 docs and 20-term
+    queries. Docs with no query term still evaluate (left join,
+    absent => false), so pure-negation branches are correct."""
+    from .functions.library import boolean_expr, parse_boolean_query
+
+    ast = parse_boolean_query(query)
+    terms = ast.terms()
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    flags = (
+        toks.where(F.col("w").isin(terms))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max((F.col("w") == t).cast("int")).alias(f"_m_{t}")
+                for t in terms
+            ]
+        )
+    )
+    full = docs.select("doc_id").join(flags, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"_m_{t}") == 1, F.lit(False)).alias(f"has_{t}")
+            for t in terms
+        ],
+    )
+    pred = boolean_expr(ast, lambda t: F.col(f"has_{t}"))
+    return full.where(pred)
+
+
+def _boolean_search_sql() -> str:
+    from .functions.library import parse_boolean_query
+
+    ast = parse_boolean_query(BOOLEAN_QUERY)
+    terms = ast.terms()
+    flag_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN w = '{t}' THEN 1 END) = 1, FALSE) AS has_{t}"
+        for t in terms
+    )
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TOKENS_CTE},
+flags AS (
+  SELECT d.doc_id,
+         {flag_cols}
+  FROM documents d
+  LEFT JOIN tokens t ON t.doc_id = d.doc_id AND t.w IN ({in_list})
+  GROUP BY d.doc_id
+)
+SELECT doc_id, {", ".join(f"has_{t}" for t in terms)}
+FROM flags WHERE {_bool_sql_expr(ast)}
+"""
+
+
+BOOLEAN_SEARCH_SQL = _boolean_search_sql()

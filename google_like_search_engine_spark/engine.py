@@ -827,6 +827,45 @@ class SearchEngine:
             .limit(k)
         )
 
+    def search_boolean(self, query: str, k: int = 100) -> DataFrame:
+        """Boolean retrieval over the index with the full query
+        language — ``a AND (b OR c) AND NOT d`` — evaluated as one
+        term-filtered aggregation producing per-doc presence flags and
+        one compiled filter (functions.library.parse_boolean_query /
+        boolean_expr): no per-operator set joins regardless of clause
+        count. Docs matching no query term still evaluate (pure
+        negation is correct). Returns (url) ordered by url, capped."""
+        from .functions.library import boolean_expr, parse_boolean_query
+
+        assert self.postings is not None, "build or load first"
+        ast = parse_boolean_query(query)
+        terms = ast.terms()
+        flags = (
+            self.postings.where(F.col("term").isin(terms))
+            .groupBy("url")
+            .agg(
+                *[
+                    F.max((F.col("term") == t).cast("int")).alias(f"_m_{t}")
+                    for t in terms
+                ]
+            )
+        )
+        full = (
+            self.doc_stats.select("url")
+            .join(flags, "url", "left")
+            .select(
+                "url",
+                *[
+                    F.coalesce(F.col(f"_m_{t}") == 1, F.lit(False)).alias(
+                        f"has_{t}"
+                    )
+                    for t in terms
+                ],
+            )
+        )
+        pred = boolean_expr(ast, lambda t: F.col(f"has_{t}"))
+        return full.where(pred).select("url").orderBy("url").limit(k)
+
     def suggest(self, term: str, k: int = 3, max_dist: int = 2) -> DataFrame:
         """Did-you-mean over the build-time term dictionary: the top-k
         terms within Levenshtein ``max_dist`` of ``term``, ranked by

@@ -186,3 +186,102 @@ def anchor_links(content_col, base_url_col) -> Column:
     c = F.col(content_col) if isinstance(content_col, str) else content_col
     b = F.col(base_url_col) if isinstance(base_url_col, str) else base_url_col
     return _udfs()["anchor_links"](c, b)
+
+
+# -- boolean query language ------------------------------------------------
+
+class BoolNode:
+    """AST node for the boolean query language: ('term', t) |
+    ('and'|'or', [children]) | ('not', child)."""
+
+    __slots__ = ("op", "args")
+
+    def __init__(self, op, args):
+        self.op, self.args = op, args
+
+    def terms(self) -> list:
+        if self.op == "term":
+            return [self.args]
+        if self.op == "not":
+            return self.args.terms()
+        out = []
+        for a in self.args:
+            out.extend(a.terms())
+        # de-dupe preserving first-seen order
+        return list(dict.fromkeys(out))
+
+
+def parse_boolean_query(q: str) -> BoolNode:
+    """Recursive-descent parser for ``a AND (b OR c) AND NOT d``:
+    AND/OR/NOT keywords (case-insensitive), parentheses, and implicit
+    AND between adjacent atoms ("a b" == "a AND b"). Terms are
+    lowercased. Raises ValueError on malformed input."""
+    import re
+
+    toks = re.findall(r"\(|\)|[^\s()]+", q)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_or():
+        node = parse_and()
+        branches = [node]
+        while peek() is not None and peek().upper() == "OR":
+            take()
+            branches.append(parse_and())
+        return branches[0] if len(branches) == 1 else BoolNode("or", branches)
+
+    def parse_and():
+        branches = [parse_not()]
+        while peek() is not None and peek() != ")" and peek().upper() != "OR":
+            if peek().upper() == "AND":
+                take()
+            branches.append(parse_not())
+        return branches[0] if len(branches) == 1 else BoolNode("and", branches)
+
+    def parse_not():
+        t = peek()
+        if t is None:
+            raise ValueError("query ended mid-expression")
+        if t.upper() == "NOT":
+            take()
+            return BoolNode("not", parse_not())
+        if t == "(":
+            take()
+            node = parse_or()
+            if peek() != ")":
+                raise ValueError("unbalanced parenthesis")
+            take()
+            return node
+        if t == ")" or t.upper() in ("AND", "OR"):
+            raise ValueError(f"unexpected {t!r}")
+        return BoolNode("term", take().lower())
+
+    node = parse_or()
+    if pos != len(toks):
+        raise ValueError(f"trailing input at {toks[pos]!r}")
+    return node
+
+
+def boolean_expr(node: BoolNode, flag_of) -> Column:
+    """Compile the AST to ONE Column over per-document term-presence
+    flags (``flag_of(term) -> BooleanColumn``). Evaluating a boolean
+    query is then a single aggregation producing the flags plus this
+    filter — no per-operator set joins, the shape that holds when the
+    corpus is 10^12 docs and the query has 20 clauses."""
+    if node.op == "term":
+        return flag_of(node.args)
+    if node.op == "not":
+        return ~boolean_expr(node.args, flag_of)
+    cols = [boolean_expr(a, flag_of) for a in node.args]
+    out = cols[0]
+    for c in cols[1:]:
+        out = (out & c) if node.op == "and" else (out | c)
+    return out

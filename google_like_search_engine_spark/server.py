@@ -12,6 +12,7 @@ Routes:
   GET /search?query=...&k=10[&scorer=bm25|tfidf]   ranked results (JSON)
   GET /autocomplete?prefix=...&k=10                dictionary prefix scan
   GET /suggest?q=...&k=3                           did-you-mean (levenshtein)
+  GET /boolean?query=a+AND+(b+OR+c)+AND+NOT+d&k=…  boolean retrieval
   GET /metrics                                     per-route counters + p50/p95
   GET /health                                      liveness + corpus size
 
@@ -148,7 +149,8 @@ def make_server(
     # the route table (and driver memory) without bound
     _KNOWN_ROUTES = {
         "/", "/health", "/metrics", "/search", "/autocomplete",
-        "/suggest", "/stats", "/phrase", "/proximity", "/threshold",
+        "/suggest", "/boolean", "/stats", "/phrase", "/proximity",
+        "/threshold",
     }
 
     from collections import OrderedDict
@@ -156,7 +158,7 @@ def make_server(
     cache_lock = threading.Lock()
     cache: OrderedDict = OrderedDict()
     _CACHEABLE = {
-        "/search", "/autocomplete", "/suggest",
+        "/search", "/autocomplete", "/suggest", "/boolean",
         "/phrase", "/proximity", "/threshold",
     }
 
@@ -333,6 +335,21 @@ def make_server(
                     for r in engine.suggest(term, k=k).collect()
                 ]
                 self._json(200, {"q": term, "suggestions": rows})
+            elif u.path == "/boolean":
+                query = q.get("query", "")
+                k = self._k(q)
+                if not query or k is None:
+                    self._json(400, {"error": "need ?query= and integer ?k="})
+                    return
+                try:
+                    rows = [
+                        r["url"]
+                        for r in engine.search_boolean(query, k=k).collect()
+                    ]
+                except ValueError as exc:  # malformed boolean query
+                    self._json(400, {"error": str(exc)})
+                    return
+                self._json(200, {"query": query, "results": rows})
             elif u.path == "/metrics":
                 self._json(200, _metrics_snapshot())
             elif u.path == "/stats" and blocked_path:

@@ -108,3 +108,51 @@ def test_cjk_aware_postings_end_to_end(spark):
     assert len(hits4) == 1 and hits4[0]["url"].endswith("/1.html")
     assert eng.search_bm25("欢迎你", k=3).collect() == []
     eng.unpersist()
+
+
+def _bool_eval(node, truth):
+    """Pure-Python evaluator for parser tests."""
+    if node.op == "term":
+        return node.args in truth
+    if node.op == "not":
+        return not _bool_eval(node.args, truth)
+    vals = [_bool_eval(a, truth) for a in node.args]
+    return all(vals) if node.op == "and" else any(vals)
+
+
+def test_boolean_query_parser_semantics():
+    """Precedence (NOT > AND > OR), implicit AND between adjacent
+    atoms, parens, case-insensitive keywords, lowercased terms."""
+    from google_like_search_engine_spark.functions.library import (
+        parse_boolean_query,
+    )
+
+    ast = parse_boolean_query("a OR b AND c")
+    # OR binds loosest: true with just {a}, false with just {b}
+    assert _bool_eval(ast, {"a"}) and not _bool_eval(ast, {"b"})
+    assert _bool_eval(ast, {"b", "c"})
+
+    ast = parse_boolean_query("(a OR b) AND c")
+    assert not _bool_eval(ast, {"a"}) and _bool_eval(ast, {"a", "c"})
+
+    ast = parse_boolean_query("a b NOT c")  # implicit AND
+    assert _bool_eval(ast, {"a", "b"}) and not _bool_eval(ast, {"a", "b", "c"})
+
+    ast = parse_boolean_query("NOT NOT a")
+    assert _bool_eval(ast, {"a"}) and not _bool_eval(ast, set())
+
+    ast = parse_boolean_query("Spark and Join or Window")
+    assert ast.terms() == ["spark", "join", "window"]
+    assert _bool_eval(ast, {"window"})
+
+
+def test_boolean_query_parser_rejects_malformed():
+    import pytest as _pt
+
+    from google_like_search_engine_spark.functions.library import (
+        parse_boolean_query,
+    )
+
+    for bad in ["", "(a", "a)", "AND a", "a OR", "NOT", "a (b"]:
+        with _pt.raises(ValueError):
+            parse_boolean_query(bad)

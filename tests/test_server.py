@@ -377,3 +377,29 @@ def test_metrics_unknown_paths_bucket_to_other(base_url):
     _, m = _get(f"{base_url}/metrics")
     assert not any(r.startswith("/scan") for r in m["routes"])
     assert m["routes"]["other"]["requests"] >= 5
+
+
+def test_boolean_route_semantics(base_url, engine):
+    """The boolean language end to end: results satisfy the compiled
+    predicate (checked against per-doc term sets computed directly),
+    and malformed queries 400."""
+    terms = [r["term"] for r in engine.autocomplete("s", k=2).collect()]
+    a, b = terms[0], terms[1]
+    q = f"{a} AND NOT {b}"
+    code, body = _get(
+        f"{base_url}/boolean?query={urllib.parse.quote(q)}&k=100"
+    )
+    assert code == 200
+    got = set(body["results"])
+    postings = {
+        (r["term"], r["url"])
+        for r in engine.postings.where(
+            engine.postings["term"].isin([a, b])
+        ).select("term", "url").collect()
+    }
+    urls_a = {u for t, u in postings if t == a}
+    urls_b = {u for t, u in postings if t == b}
+    want = urls_a - urls_b
+    assert got == set(sorted(want)[:100])
+    code, body = _get_allow_error(f"{base_url}/boolean?query=AND+a")
+    assert code == 400
