@@ -41,7 +41,7 @@ ENTRY_PAGE = """<!doctype html>
 </style></head><body>
 <h1>spark search</h1>
 <form id="f"><input id="q" autocomplete="off" autofocus
- placeholder='query  |  +req -excl  |  &quot;exact phrase&quot;  |  a NEAR/5 b'>
+ placeholder='query  |  +req -excl  |  &quot;exact phrase&quot;  |  a NEAR/5 b  |  a AND (b OR c) NOT d'>
 <button>Search</button></form>
 <div id="suggest"></div><ol id="results"></ol>
 <script>
@@ -60,9 +60,12 @@ document.getElementById('f').addEventListener('submit',async ev=>{
   // "quoted phrase" -> /phrase; a NEAR/5 b c -> /proximity;
   // else +term requires, -term excludes, the rest is the scored query
   const near=raw.match(/^(\\S+)\\s+NEAR\\/(\\d+)\\s+(.+)$/i);
+  const isBool=/(^|[\\s(])(AND|OR|NOT)([\\s(]|$)/.test(raw);
   let url;
   if(raw.length>1&&raw[0]=='"'&&raw.endsWith('"')){
     url='/phrase?query='+encodeURIComponent(raw.slice(1,-1))+'&k=20';
+  }else if(isBool&&!near){
+    url='/boolean?query='+encodeURIComponent(raw)+'&k=20';
   }else if(near){
     const terms=[near[1]].concat(near[3].split(/\\s+/)).join(',');
     url='/proximity?terms='+encodeURIComponent(terms)+'&window='+near[2]+'&k=20';
@@ -94,10 +97,12 @@ document.getElementById('f').addEventListener('submit',async ev=>{
   }
   for(const row of (js.results||[])){
     const li=document.createElement('li');
-    const a=document.createElement('a'); a.href=row.url; a.textContent=row.url;
+    const u2=(typeof row=='string')?row:row.url;  // /boolean: bare urls
+    const a=document.createElement('a'); a.href=u2; a.textContent=u2;
     const sc=document.createElement('span'); sc.className='score';
-    sc.textContent=row.score!=null?row.score.toFixed(4)
-      :(row.n_occurrences!=null?row.n_occurrences:row.n_matches)+'\\u00d7';
+    sc.textContent=(typeof row=='string')?''
+      :(row.score!=null?row.score.toFixed(4)
+      :(row.n_occurrences!=null?row.n_occurrences:row.n_matches)+'\\u00d7');
     li.append(a,sc); res.append(li);
   }
 });

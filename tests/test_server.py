@@ -130,6 +130,7 @@ def test_entry_page_served(base_url):
     assert "/phrase?query=" in body and "/proximity?terms=" in body
     assert "NEAR" in body and "n_occurrences" in body and "n_matches" in body
     assert "/suggest?q=" in body and "did you mean" in body
+    assert "/boolean?query=" in body
 
 
 def test_concurrent_requests_consistent(base_url, engine):
