@@ -827,15 +827,24 @@ class SearchEngine:
             .limit(k)
         )
 
-    def search_boolean(self, query: str, k: int = 100) -> DataFrame:
+    def search_boolean(
+        self, query: str, k: int = 100, ranked: bool = False
+    ) -> DataFrame:
         """Boolean retrieval over the index with the full query
         language — ``a AND (b OR c) AND NOT d`` — evaluated as one
         term-filtered aggregation producing per-doc presence flags and
         one compiled filter (functions.library.parse_boolean_query /
         boolean_expr): no per-operator set joins regardless of clause
         count. Docs matching no query term still evaluate (pure
-        negation is correct). Returns (url) ordered by url, capped."""
-        from .functions.library import boolean_expr, parse_boolean_query
+        negation is correct). Returns (url) ordered by url, capped;
+        ``ranked=True`` instead orders the matches by BM25 over the
+        query's POSITIVE terms (purely negated terms only filter) and
+        returns (url, score)."""
+        from .functions.library import (
+            boolean_expr,
+            parse_boolean_query,
+            positive_terms,
+        )
 
         assert self.postings is not None, "build or load first"
         ast = parse_boolean_query(query)
@@ -864,7 +873,19 @@ class SearchEngine:
             )
         )
         pred = boolean_expr(ast, lambda t: F.col(f"has_{t}"))
-        return full.where(pred).select("url").orderBy("url").limit(k)
+        matched = full.where(pred).select("url")
+        pos = positive_terms(ast) if ranked else []
+        if not pos:  # unranked, or nothing rankable (pure negation)
+            return matched.orderBy("url").limit(k)
+        scored = score_bm25(
+            self.spark, " ".join(pos), self.postings, self.doc_stats,
+            self.total_documents, avgdl=self._avgdl, term_df=self.term_df,
+        )
+        return (
+            scored.join(matched, "url", "left_semi")
+            .orderBy(F.desc("score"), F.asc("url"))
+            .limit(k)
+        )
 
     def suggest(self, term: str, k: int = 3, max_dist: int = 2) -> DataFrame:
         """Did-you-mean over the build-time term dictionary: the top-k

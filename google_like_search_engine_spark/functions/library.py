@@ -285,3 +285,17 @@ def boolean_expr(node: BoolNode, flag_of) -> Column:
     for c in cols[1:]:
         out = (out & c) if node.op == "and" else (out | c)
     return out
+
+
+def positive_terms(node: BoolNode, negated: bool = False) -> list:
+    """Terms under an even number of NOTs — the ones that support
+    relevance ranking of a boolean match (a ranked-boolean query
+    orders by BM25 over these; purely negated terms only filter)."""
+    if node.op == "term":
+        return [] if negated else [node.args]
+    if node.op == "not":
+        return positive_terms(node.args, not negated)
+    out = []
+    for a in node.args:
+        out.extend(positive_terms(a, negated))
+    return list(dict.fromkeys(out))

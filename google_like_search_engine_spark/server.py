@@ -346,14 +346,19 @@ def make_server(
                 if not query or k is None:
                     self._json(400, {"error": "need ?query= and integer ?k="})
                     return
+                ranked = q.get("ranked", "") in ("1", "true")
                 try:
-                    rows = [
-                        r["url"]
-                        for r in engine.search_boolean(query, k=k).collect()
-                    ]
+                    res = engine.search_boolean(
+                        query, k=k, ranked=ranked
+                    ).collect()
                 except ValueError as exc:  # malformed boolean query
                     self._json(400, {"error": str(exc)})
                     return
+                rows = (
+                    [{"url": r["url"], "score": float(r["score"])} for r in res]
+                    if ranked
+                    else [r["url"] for r in res]
+                )
                 self._json(200, {"query": query, "results": rows})
             elif u.path == "/metrics":
                 self._json(200, _metrics_snapshot())

@@ -404,3 +404,25 @@ def test_boolean_route_semantics(base_url, engine):
     assert got == set(sorted(want)[:100])
     code, body = _get_allow_error(f"{base_url}/boolean?query=AND+a")
     assert code == 400
+
+
+def test_boolean_ranked_orders_by_bm25(base_url, engine):
+    """ranked=1 returns the same match set ordered by BM25 over the
+    positive terms; scores agree with search_bm25 on those terms."""
+    terms = [r["term"] for r in engine.autocomplete("s", k=2).collect()]
+    a, b = terms[0], terms[1]
+    q = f"{a} AND NOT {b}"
+    _, plain = _get(f"{base_url}/boolean?query={urllib.parse.quote(q)}&k=100")
+    code, ranked = _get(
+        f"{base_url}/boolean?query={urllib.parse.quote(q)}&k=100&ranked=1"
+    )
+    assert code == 200
+    assert {r["url"] for r in ranked["results"]} == set(plain["results"])
+    scores = [r["score"] for r in ranked["results"]]
+    assert scores == sorted(scores, reverse=True)
+    direct = {
+        r["url"]: float(r["score"])
+        for r in engine.search_bm25(a, k=1000).collect()
+    }
+    for r in ranked["results"]:
+        assert direct[r["url"]] == r["score"]
