@@ -1874,3 +1874,36 @@ FROM flags WHERE {_bool_sql_expr(ast)}
 
 
 BOOLEAN_SEARCH_SQL = _boolean_search_sql()
+
+
+def source_collapse(spark, sf_dir):
+    """Result diversification by source (the SERP host-collapse rule:
+    at most one result per site): for the fixed query, each source's
+    single best-scoring document. Winner selection is deterministic —
+    rounded BM25 descending with doc_id tiebreak — and the output is
+    the full per-source winner set (no float-ordered LIMIT), so the
+    oracle replays it with one window function. At scale this is one
+    window over the scored relation partitioned by source — the
+    partition count is the site count, not the corpus."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    scored = bm25_search(spark, sf_dir).join(docs, "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", "doc_id", "score")
+    )
+
+
+SOURCE_COLLAPSE_SQL = f"""
+WITH scored AS ({BM25_SEARCH_SQL})
+SELECT d.source, s.doc_id, s.score
+FROM scored s JOIN documents d USING (doc_id)
+QUALIFY row_number() OVER (
+  PARTITION BY d.source ORDER BY s.score DESC, s.doc_id
+) = 1
+"""
