@@ -1801,12 +1801,18 @@ def streaming_quality_filter(spark, sf_dir):
 BOOLEAN_QUERY = "(spark OR vector) AND scan AND NOT dup"
 
 
+def _flag_name(t: str) -> str:
+    """Column name for a term's presence flag; wildcard prefixes
+    ("quer*") get a _pre suffix so the name stays an identifier."""
+    return "has_" + t.replace("*", "_pre")
+
+
 def _bool_sql_expr(node) -> str:
     """Compile the boolean AST to the oracle's SQL predicate over the
     same has_<term> flags — one compiler per target, one AST, so the
     Spark filter and the oracle can't drift."""
     if node.op == "term":
-        return f"has_{node.args}"
+        return _flag_name(node.args)
     if node.op == "not":
         return f"(NOT {_bool_sql_expr(node.args)})"
     j = " AND " if node.op == "and" else " OR "
@@ -1826,14 +1832,23 @@ def boolean_search(spark, sf_dir, query: str = BOOLEAN_QUERY):
 
     ast = parse_boolean_query(query)
     terms = ast.terms()
+
+    def match(t):  # exact term, or dictionary-prefix for "foo*"
+        if t.endswith("*"):
+            return F.col("w").startswith(t[:-1])
+        return F.col("w") == t
+
+    prefilter = match(terms[0])
+    for t in terms[1:]:
+        prefilter = prefilter | match(t)
     docs = load(spark, sf_dir, "documents")
     toks = _tokens(docs)
     flags = (
-        toks.where(F.col("w").isin(terms))
+        toks.where(prefilter)
         .groupBy("doc_id")
         .agg(
             *[
-                F.max((F.col("w") == t).cast("int")).alias(f"_m_{t}")
+                F.max(match(t).cast("int")).alias(f"_m_{_flag_name(t)}")
                 for t in terms
             ]
         )
@@ -1841,39 +1856,61 @@ def boolean_search(spark, sf_dir, query: str = BOOLEAN_QUERY):
     full = docs.select("doc_id").join(flags, "doc_id", "left").select(
         "doc_id",
         *[
-            F.coalesce(F.col(f"_m_{t}") == 1, F.lit(False)).alias(f"has_{t}")
+            F.coalesce(F.col(f"_m_{_flag_name(t)}") == 1, F.lit(False)).alias(
+                _flag_name(t)
+            )
             for t in terms
         ],
     )
-    pred = boolean_expr(ast, lambda t: F.col(f"has_{t}"))
+    pred = boolean_expr(ast, lambda t: F.col(_flag_name(t)))
     return full.where(pred)
 
 
-def _boolean_search_sql() -> str:
+def _boolean_search_sql(query: str = BOOLEAN_QUERY) -> str:
     from .functions.library import parse_boolean_query
 
-    ast = parse_boolean_query(BOOLEAN_QUERY)
+    ast = parse_boolean_query(query)
     terms = ast.terms()
+
+    def cond(t):
+        if t.endswith("*"):
+            return f"w LIKE '{t[:-1]}%'"
+        return f"w = '{t}'"
+
     flag_cols = ",\n         ".join(
-        f"coalesce(max(CASE WHEN w = '{t}' THEN 1 END) = 1, FALSE) AS has_{t}"
+        f"coalesce(max(CASE WHEN {cond(t)} THEN 1 END) = 1, FALSE)"
+        f" AS {_flag_name(t)}"
         for t in terms
     )
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    prefilter = " OR ".join(f"t.{cond(t)}" for t in terms)
     return f"""
 WITH {_TOKENS_CTE},
 flags AS (
   SELECT d.doc_id,
          {flag_cols}
   FROM documents d
-  LEFT JOIN tokens t ON t.doc_id = d.doc_id AND t.w IN ({in_list})
+  LEFT JOIN tokens t ON t.doc_id = d.doc_id AND ({prefilter})
   GROUP BY d.doc_id
 )
-SELECT doc_id, {", ".join(f"has_{t}" for t in terms)}
+SELECT doc_id, {", ".join(_flag_name(t) for t in terms)}
 FROM flags WHERE {_bool_sql_expr(ast)}
 """
 
 
 BOOLEAN_SEARCH_SQL = _boolean_search_sql()
+
+# wildcard variant: "s*" expands against whatever the corpus holds —
+# the dictionary-prefix disjunction a search box's trailing-star means
+BOOLEAN_WILDCARD_QUERY = "s* AND dup AND NOT window"
+BOOLEAN_WILDCARD_SQL = _boolean_search_sql(BOOLEAN_WILDCARD_QUERY)
+
+
+def boolean_wildcard_search(spark, sf_dir):
+    """boolean_search with a trailing-star prefix term (see
+    BOOLEAN_WILDCARD_QUERY): the flag aggregation evaluates the prefix
+    as startswith/LIKE, so expansion needs no dictionary round-trip
+    and the same single-aggregation plan holds."""
+    return boolean_search(spark, sf_dir, query=BOOLEAN_WILDCARD_QUERY)
 
 
 def source_collapse(spark, sf_dir):

@@ -849,12 +849,24 @@ class SearchEngine:
         assert self.postings is not None, "build or load first"
         ast = parse_boolean_query(query)
         terms = ast.terms()
+
+        def fname(t):  # wildcard-safe flag column name
+            return "has_" + t.replace("*", "_pre")
+
+        def match(t):  # exact term, or dictionary prefix for "foo*"
+            if t.endswith("*"):
+                return F.col("term").startswith(t[:-1])
+            return F.col("term") == t
+
+        prefilter = match(terms[0])
+        for t in terms[1:]:
+            prefilter = prefilter | match(t)
         flags = (
-            self.postings.where(F.col("term").isin(terms))
+            self.postings.where(prefilter)
             .groupBy("url")
             .agg(
                 *[
-                    F.max((F.col("term") == t).cast("int")).alias(f"_m_{t}")
+                    F.max(match(t).cast("int")).alias(f"_m_{fname(t)}")
                     for t in terms
                 ]
             )
@@ -865,16 +877,19 @@ class SearchEngine:
             .select(
                 "url",
                 *[
-                    F.coalesce(F.col(f"_m_{t}") == 1, F.lit(False)).alias(
-                        f"has_{t}"
+                    F.coalesce(F.col(f"_m_{fname(t)}") == 1, F.lit(False)).alias(
+                        fname(t)
                     )
                     for t in terms
                 ],
             )
         )
-        pred = boolean_expr(ast, lambda t: F.col(f"has_{t}"))
+        pred = boolean_expr(ast, lambda t: F.col(fname(t)))
         matched = full.where(pred).select("url")
-        pos = positive_terms(ast) if ranked else []
+        pos = [
+            t for t in (positive_terms(ast) if ranked else [])
+            if not t.endswith("*")  # prefixes filter; BM25 ranks exact terms
+        ]
         if not pos:  # unranked, or nothing rankable (pure negation)
             return matched.orderBy("url").limit(k)
         scored = score_bm25(

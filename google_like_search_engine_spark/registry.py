@@ -767,6 +767,10 @@ EXTRA_ORACLE_QUERIES["source_collapse"] = (
     t.source_collapse,
     t.SOURCE_COLLAPSE_SQL,
 )
+EXTRA_ORACLE_QUERIES["boolean_wildcard_search"] = (
+    t.boolean_wildcard_search,
+    t.BOOLEAN_WILDCARD_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)

@@ -426,3 +426,17 @@ def test_boolean_ranked_orders_by_bm25(base_url, engine):
     }
     for r in ranked["results"]:
         assert direct[r["url"]] == r["score"]
+
+
+def test_boolean_wildcard_prefix_expansion(engine):
+    """A trailing-star term matches every dictionary term with that
+    prefix: 'se*' equals the union of the se-completions, checked
+    against an explicit OR over them."""
+    comps = [r["term"] for r in engine.autocomplete("se", k=50).collect()]
+    assert comps
+    star = {r["url"] for r in engine.search_boolean("se*", k=10_000).collect()}
+    explicit = {
+        r["url"]
+        for r in engine.search_boolean(" OR ".join(comps), k=10_000).collect()
+    }
+    assert star == explicit and star
