@@ -1264,3 +1264,57 @@ def streaming_events_sessions(spark, sf_dir):
         )
         .localCheckpoint(eager=True)
     )
+
+
+EVENT_QUANTILES = (0.5, 0.95, 0.99)
+
+
+def events_quantiles(spark, sf_dir):
+    """Exact per-event-type value quantiles by explicit rank selection
+    (the element at rank ceil(q*n), ties broken by event_id) — the
+    discrete-quantile form is deterministic across engines where
+    interpolated percentiles are not. One window per type partition;
+    at scale the partition count is the type cardinality, and an
+    approximate sketch (percentile_approx) replaces this only when a
+    1-ulp-exact answer stops mattering."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    n = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(n)
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                F.round(F.col("value"), 3),
+            )
+        ).alias(f"p{int(q * 100)}")
+        for q in EVENT_QUANTILES
+    ]
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"), *picks
+    )
+
+
+EVENTS_QUANTILES_SQL = f"""
+WITH ranked AS (
+  SELECT event_type, value, 
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       {", ".join(
+         f"max(CASE WHEN rn = CAST(ceil({q} * n) AS BIGINT) "
+         f"THEN round(value, 3) END) AS p{int(q * 100)}"
+         for q in EVENT_QUANTILES
+       )}
+FROM ranked GROUP BY event_type
+"""

@@ -771,6 +771,10 @@ EXTRA_ORACLE_QUERIES["boolean_wildcard_search"] = (
     t.boolean_wildcard_search,
     t.BOOLEAN_WILDCARD_SQL,
 )
+EXTRA_ORACLE_QUERIES["events_quantiles"] = (
+    c.events_quantiles,
+    c.EVENTS_QUANTILES_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
