@@ -1944,3 +1944,99 @@ QUALIFY row_number() OVER (
   PARTITION BY d.source ORDER BY s.score DESC, s.doc_id
 ) = 1
 """
+
+
+def search_eval_mrr(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
+    """Reciprocal-rank companion to search_eval_ndcg over the same
+    queries/judgments: each query's first fully-relevant (rel=2)
+    position in the BM25 ranking and its reciprocal rank — the other
+    metric a ranking dashboard tracks. Emitting per-query rows (not
+    the mean) keeps the output exact: rank is an integer and
+    rr = round(1/rank, 4)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n = float(docs.count())
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+    q_rows = [
+        (qid, w, len(ws)) for qid, ws in EVAL_QUERIES.items() for w in ws
+    ]
+    qdf = spark.createDataFrame(q_rows, "qid int, w string, n_q int")
+    dfc = (
+        tf.join(F.broadcast(qdf.select("w").distinct()), "w")
+        .groupBy("w")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "w")
+        .join(F.broadcast(dfc), "w")
+        .join(dl, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("qid", "n_q", "doc_id", "lang")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                ),
+                4,
+            ).alias("score"),
+            F.countDistinct("w").alias("n_matched"),
+        )
+        .withColumn(
+            "rel2",
+            (F.col("n_matched") == F.col("n_q")) & (F.col("lang") == "en"),
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("pos", F.row_number().over(w_rank))
+    return (
+        ranked.where("rel2")
+        .groupBy("qid")
+        .agg(F.min("pos").cast("long").alias("first_rel_pos"))
+        .select(
+            "qid",
+            "first_rel_pos",
+            F.round(1.0 / F.col("first_rel_pos"), 4).alias("rr"),
+        )
+    )
+
+
+SEARCH_EVAL_MRR_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY doc_id, w),
+dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+stats AS (SELECT avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+q(qid, w, n_q) AS (VALUES {_EVAL_Q_VALUES}),
+dfc AS (
+  SELECT w, count(DISTINCT doc_id) AS df FROM tf
+  WHERE w IN (SELECT w FROM q) GROUP BY w
+),
+scored AS (
+  SELECT q.qid, tf.doc_id,
+         round(sum(
+           ln((n.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+           * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ), 4) AS score,
+         (count(DISTINCT tf.w) = q.n_q AND d.lang = 'en') AS rel2
+  FROM tf JOIN q USING (w) JOIN dfc USING (w)
+       JOIN dl ON tf.doc_id = dl.doc_id
+       JOIN documents d ON d.doc_id = tf.doc_id, stats, n
+  GROUP BY q.qid, q.n_q, tf.doc_id, d.lang
+),
+ranked AS (
+  SELECT qid, rel2,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS pos
+  FROM scored
+)
+SELECT qid, CAST(min(pos) AS BIGINT) AS first_rel_pos,
+       round(1.0 / min(pos), 4) AS rr
+FROM ranked WHERE rel2 GROUP BY qid
+"""
