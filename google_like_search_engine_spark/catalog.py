@@ -1318,3 +1318,66 @@ SELECT event_type, CAST(max(n) AS BIGINT) AS n,
        )}
 FROM ranked GROUP BY event_type
 """
+
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_events(spark, sf_dir):
+    """Ordered funnel analysis: how many users reach view -> click ->
+    purchase IN ORDER. Stage k's entry point per user is the earliest
+    event of that type strictly after the user's stage-(k-1) entry,
+    with (ts, event_id) struct ordering so simultaneous timestamps
+    break ties identically in any engine. Per-stage shapes are one
+    filtered aggregation per stage joined on the user key — three
+    passes regardless of corpus size, each co-partitioned on user_id."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.struct("ts", "event_id").alias("k")
+    )
+
+    def stage_counts():
+        prev = None
+        for i, sname in enumerate(FUNNEL_STAGES):
+            s = ev.where(F.col("event_type") == sname)
+            if prev is not None:
+                s = s.join(prev, "user_id").where(F.col("k") > F.col("k_prev"))
+            cur = s.groupBy("user_id").agg(F.min("k").alias("k_prev"))
+            yield (
+                cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                    F.lit(i + 1).alias("stage"),
+                    F.lit(sname).alias("event_type"),
+                    "n_users",
+                )
+            )
+            prev = cur
+
+    out = None
+    for part in stage_counts():
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+FUNNEL_EVENTS_SQL = f"""
+WITH s1 AS (
+  SELECT user_id, min(row(ts, event_id)) AS k FROM events
+  WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(row(e.ts, e.event_id)) AS k
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND row(e.ts, e.event_id) > s1.k
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(row(e.ts, e.event_id)) AS k
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND row(e.ts, e.event_id) > s2.k
+  GROUP BY e.user_id
+)
+SELECT CAST(1 AS INT) AS stage, '{FUNNEL_STAGES[0]}' AS event_type,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, '{FUNNEL_STAGES[1]}', CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 3, '{FUNNEL_STAGES[2]}', CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""

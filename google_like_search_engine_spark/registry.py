@@ -779,6 +779,10 @@ EXTRA_ORACLE_QUERIES["search_eval_mrr"] = (
     t.search_eval_mrr,
     t.SEARCH_EVAL_MRR_SQL,
 )
+EXTRA_ORACLE_QUERIES["funnel_events"] = (
+    c.funnel_events,
+    c.FUNNEL_EVENTS_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
