@@ -1321,27 +1321,39 @@ FROM ranked GROUP BY event_type
 
 
 FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 24
 
 
 def funnel_events(spark, sf_dir):
-    """Ordered funnel analysis: how many users reach view -> click ->
-    purchase IN ORDER. Stage k's entry point per user is the earliest
-    event of that type strictly after the user's stage-(k-1) entry,
-    with (ts, event_id) struct ordering so simultaneous timestamps
-    break ties identically in any engine. Per-stage shapes are one
-    filtered aggregation per stage joined on the user key — three
-    passes regardless of corpus size, each co-partitioned on user_id."""
+    """Ordered funnel analysis with a conversion window: how many
+    users reach view -> click -> purchase IN ORDER, each transition
+    within FUNNEL_WINDOW_HOURS of the previous stage's entry (without
+    the window every active user trivially completes the funnel and
+    the metric says nothing). Stage k's entry point per user is the
+    earliest event of that type strictly after the user's stage-(k-1)
+    entry, with (ts, event_id) struct ordering so simultaneous
+    timestamps break ties identically in any engine. Per-stage shapes
+    are one filtered aggregation per stage joined on the user key —
+    three passes regardless of corpus size, co-partitioned on
+    user_id."""
     ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.struct("ts", "event_id").alias("k")
+        "user_id", "event_type", "ts",
+        F.struct("ts", "event_id").alias("k"),
     )
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_HOURS} HOURS")
 
     def stage_counts():
         prev = None
         for i, sname in enumerate(FUNNEL_STAGES):
             s = ev.where(F.col("event_type") == sname)
             if prev is not None:
-                s = s.join(prev, "user_id").where(F.col("k") > F.col("k_prev"))
-            cur = s.groupBy("user_id").agg(F.min("k").alias("k_prev"))
+                s = s.join(prev, "user_id").where(
+                    (F.col("k") > F.col("k_prev"))
+                    & (F.col("ts") <= F.col("ts_prev") + win)
+                )
+            cur = s.groupBy("user_id").agg(
+                F.min("k").alias("k_prev"), F.min("ts").alias("ts_prev")
+            )
             yield (
                 cur.agg(F.count(F.lit(1)).alias("n_users")).select(
                     F.lit(i + 1).alias("stage"),
@@ -1359,19 +1371,21 @@ def funnel_events(spark, sf_dir):
 
 FUNNEL_EVENTS_SQL = f"""
 WITH s1 AS (
-  SELECT user_id, min(row(ts, event_id)) AS k FROM events
+  SELECT user_id, min(row(ts, event_id)) AS k, min(ts) AS ts0 FROM events
   WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
 ),
 s2 AS (
-  SELECT e.user_id, min(row(e.ts, e.event_id)) AS k
+  SELECT e.user_id, min(row(e.ts, e.event_id)) AS k, min(e.ts) AS ts0
   FROM events e JOIN s1 USING (user_id)
   WHERE e.event_type = '{FUNNEL_STAGES[1]}' AND row(e.ts, e.event_id) > s1.k
+    AND e.ts <= s1.ts0 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
   GROUP BY e.user_id
 ),
 s3 AS (
   SELECT e.user_id, min(row(e.ts, e.event_id)) AS k
   FROM events e JOIN s2 USING (user_id)
   WHERE e.event_type = '{FUNNEL_STAGES[2]}' AND row(e.ts, e.event_id) > s2.k
+    AND e.ts <= s2.ts0 + INTERVAL {FUNNEL_WINDOW_HOURS} HOUR
   GROUP BY e.user_id
 )
 SELECT CAST(1 AS INT) AS stage, '{FUNNEL_STAGES[0]}' AS event_type,
