@@ -1395,3 +1395,39 @@ SELECT 2, '{FUNNEL_STAGES[1]}', CAST((SELECT count(*) FROM s2) AS BIGINT)
 UNION ALL
 SELECT 3, '{FUNNEL_STAGES[2]}', CAST((SELECT count(*) FROM s3) AS BIGINT)
 """
+
+
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted again in each later week they return — the growth-
+    accounting matrix. Week membership is date_trunc('week') (Monday
+    start in both engines) and offsets are exact day differences over
+    7, so every cell is an integer count with no float anywhere. Two
+    aggregations and one co-partitioned join on the user key."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("week", "ts").cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = ev.join(first, "user_id")
+    return act.groupBy(
+        "cohort",
+        (F.datediff("wk", "cohort") / 7).cast("int").alias("week_offset"),
+    ).agg(F.countDistinct("user_id").alias("n_users"))
+
+
+EVENTS_RETENTION_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+first AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY user_id)
+SELECT f.cohort, CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM ev e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""

@@ -783,6 +783,10 @@ EXTRA_ORACLE_QUERIES["funnel_events"] = (
     c.funnel_events,
     c.FUNNEL_EVENTS_SQL,
 )
+EXTRA_ORACLE_QUERIES["events_retention"] = (
+    c.events_retention,
+    c.EVENTS_RETENTION_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
