@@ -1431,3 +1431,41 @@ SELECT f.cohort, CAST(date_diff('day', f.cohort, e.wk) // 7 AS INT) AS week_offs
 FROM ev e JOIN first f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+def events_transitions(spark, sf_dir):
+    """Per-user next-event transition counts (the Markov matrix a
+    product-analytics tool draws as a flow diagram): order each user's
+    events by (ts, event_id) and count (event_type -> next event_type)
+    pairs. One window per user partition; lead() is the only operator,
+    so the plan is a single pass at any scale."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    nxt = ev.withColumn("next_type", F.lead("event_type").over(w))
+    return (
+        nxt.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH nxt AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM nxt WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+"""

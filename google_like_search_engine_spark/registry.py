@@ -787,6 +787,10 @@ EXTRA_ORACLE_QUERIES["events_retention"] = (
     c.events_retention,
     c.EVENTS_RETENTION_SQL,
 )
+EXTRA_ORACLE_QUERIES["events_transitions"] = (
+    c.events_transitions,
+    c.EVENTS_TRANSITIONS_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
