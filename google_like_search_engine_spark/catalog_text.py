@@ -2040,3 +2040,61 @@ SELECT qid, CAST(min(pos) AS BIGINT) AS first_rel_pos,
        round(1.0 / min(pos), 4) AS rr
 FROM ranked WHERE rel2 GROUP BY qid
 """
+
+
+PMI_MIN_SUPPORT = 2
+
+
+def term_pmi(spark, sf_dir):
+    """Pointwise mutual information over term co-occurrence: for every
+    term pair (a < b) co-occurring in >= PMI_MIN_SUPPORT documents,
+    pmi = ln(N * c_ab / (c_a * c_b)) — the association score behind
+    collocation discovery and query-expansion candidates. Every count
+    is an integer, so the ratio is exact and one round-4 ln is the
+    only float. The pair relation is a distinct (doc, term) self-join;
+    at web scale the same plan needs the corpus's per-doc distinct-term
+    cap and a df ceiling on the join's hot side (the shingle/bucket
+    caps dedup already uses) — quadratic blowup lives in the data, not
+    the operator."""
+    docs = load(spark, sf_dir, "documents")
+    n = float(docs.count())
+    dt = _tokens(docs).distinct()
+    dfc = dt.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    pairs = (
+        dt.alias("a")
+        .join(dt.alias("b"), "doc_id")
+        .where(F.col("a.w") < F.col("b.w"))
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= PMI_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(dfc.select(F.col("w").alias("w1"), F.col("df").alias("c_a")), "w1")
+        .join(dfc.select(F.col("w").alias("w2"), F.col("df").alias("c_b")), "w2")
+        .select(
+            "w1", "w2", "c_ab",
+            F.round(
+                F.log(F.lit(n) * F.col("c_ab") / (F.col("c_a") * F.col("c_b"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+TERM_PMI_SQL = f"""
+WITH {_TOKENS_CTE},
+dt AS (SELECT DISTINCT doc_id, w FROM tokens),
+dfc AS (SELECT w, count(*) AS df FROM dt GROUP BY w),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+pairs AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS c_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.w < b.w
+  GROUP BY 1, 2
+  HAVING count(*) >= {PMI_MIN_SUPPORT}
+)
+SELECT p.w1, p.w2, p.c_ab,
+       round(ln(n.n * p.c_ab / (fa.df * fb.df)), 4) AS pmi
+FROM pairs p
+JOIN dfc fa ON fa.w = p.w1
+JOIN dfc fb ON fb.w = p.w2, n
+"""

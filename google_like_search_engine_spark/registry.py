@@ -791,6 +791,7 @@ EXTRA_ORACLE_QUERIES["events_transitions"] = (
     c.events_transitions,
     c.EVENTS_TRANSITIONS_SQL,
 )
+EXTRA_ORACLE_QUERIES["term_pmi"] = (t.term_pmi, t.TERM_PMI_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
