@@ -68,6 +68,86 @@ def stratified_keep(
     )
     return df.withColumn(out, b < rate)
 
+def pack_chunks(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: the position every document's
+    tokens land at when the corpus is concatenated in ``key_col`` order
+    and cut into fixed ``budget``-token training chunks — the packing
+    step an LLM pretraining pipeline runs so no chunk is padded.
+
+    Returns (key, n_tokens, start_offset, chunk_id, n_chunks): the
+    document's global token offset, the chunk its first token falls in
+    (start_offset div budget) and how many chunks it spans. Pure
+    integers, deterministic in key order.
+
+    The global exclusive prefix sum is the same two-phase shape as
+    compression.assign_doc_indexes (a bare ordered window would funnel
+    the whole corpus through one reducer): range-partition + sort by
+    key, pin that partitioning, one cheap per-partition token-sum job,
+    broadcast the cumulative bases, then an Arrow pass adds base +
+    partition-local running sum. Per-executor state is O(1); the only
+    driver data is one row per partition.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n = F.size(F.filter(F.split(F.col(text_col), " "), lambda x: x != ""))
+    ids = (
+        df.select(F.col(key_col).alias("k"), n.cast("long").alias("n_tokens"))
+        .repartitionByRange(nparts, "k")
+        .sortWithinPartitions("k")
+        .persist()  # pins the range partitioning across the two passes
+    )
+    key_type = ids.schema["k"].dataType.simpleString()
+    sums = (
+        ids.select(F.spark_partition_id().alias("pid"), "n_tokens")
+        .groupBy("pid")
+        .agg(F.sum("n_tokens").alias("s"))
+        .collect()
+    )
+    bases = {}
+    acc = 0
+    for row in sorted(sums, key=lambda r: r["pid"]):
+        bases[row["pid"]] = acc
+        acc += row["s"]
+    bbase = spark.sparkContext.broadcast(bases)
+
+    def offsets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        run = bbase.value.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            ntok = pdf["n_tokens"].to_numpy()
+            start = ntok.cumsum() - ntok + run
+            run += int(ntok.sum())
+            yield pd.DataFrame(
+                {"k": pdf["k"], "n_tokens": ntok, "start_offset": start}
+            )
+
+    placed = ids.mapInPandas(
+        offsets, schema=f"k {key_type}, n_tokens long, start_offset long"
+    ).localCheckpoint(eager=True)
+    ids.unpersist()
+    first_chunk = F.expr(f"start_offset DIV {budget}")
+    last_chunk = F.expr(f"(start_offset + n_tokens - 1) DIV {budget}")
+    return placed.select(
+        F.col("k").alias(key_col),
+        "n_tokens",
+        "start_offset",
+        first_chunk.alias("chunk_id"),
+        F.when(F.col("n_tokens") == 0, F.lit(1).cast("long"))
+        .otherwise(last_chunk - first_chunk + 1)
+        .alias("n_chunks"),
+    )
+
+
 def bigram_lm_nll(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -2098,3 +2098,205 @@ FROM pairs p
 JOIN dfc fa ON fa.w = p.w1
 JOIN dfc fb ON fb.w = p.w2, n
 """
+
+
+DOC_KEYWORDS_K = 3
+
+
+def doc_keywords(spark, sf_dir):
+    """Top-K keyword extraction per document: the K terms with the
+    highest in-doc frequency, rarest-first then alphabetical on ties —
+    the per-doc keyword step behind tagging, snippet highlighting and
+    query expansion. The TF-IDF score is carried as an output column
+    but the RANKING keys are all integers/strings (tf desc, df asc,
+    term asc) so both engines pick identical rows — never rank on a
+    float across engines. The window partitions by doc_id (millions of
+    small partitions, no global funnel); tf/df are two hash aggs off
+    the same scan and N arrives as a broadcast 1-row relation."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = toks.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    ndf = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("w").asc()
+    )
+    return (
+        tf.join(dfc, "w")
+        .withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= DOC_KEYWORDS_K)
+        .crossJoin(F.broadcast(ndf))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 4).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+DOC_KEYWORDS_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY 1, 2),
+dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM tokens GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ranked AS (
+  SELECT tf.doc_id, tf.w, tf.tf, dfc.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id ORDER BY tf.tf DESC, dfc.df ASC, tf.w ASC
+         ) AS rn
+  FROM tf JOIN dfc ON dfc.w = tf.w)
+SELECT r.doc_id, r.w AS term, r.tf, r.df,
+       round(r.tf * ln(n.n / r.df), 4) AS tfidf,
+       CAST(r.rn AS INTEGER) AS rank
+FROM ranked r, n WHERE r.rn <= {DOC_KEYWORDS_K}
+"""
+
+
+CONTAM_MIN_SHARED = 2
+
+
+def contamination_check(spark, sf_dir):
+    """Train/test decontamination: which held-out (test-split) documents
+    leak into the training split, measured as pairs sharing >=
+    CONTAM_MIN_SHARED distinct 3-word shingles — the overlap audit an
+    LLM-data pipeline runs before training so eval sets aren't
+    memorized. Splits come from the same deterministic hash buckets as
+    dataset_split (pure function of doc_id, no coordination).
+
+    Same quadratic-blowup guard as ngram_jaccard: shingles in more than
+    SHINGLE_DF_CAP docs (boilerplate) are excluded from the
+    pair-generating join, mirrored in the oracle. At 100 TB the join
+    shuffles on the shingle key with bounded per-key fan-out
+    (<= cap^2 pairs per shingle), never on doc pairs."""
+    from .analytics.curation import hash_bucket
+
+    sh = _shingles(spark, sf_dir)
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .where(F.col("sdf") <= SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sided = sh.join(rare, "sh", "left_semi").withColumn(
+        "sb", hash_bucket(F.col("doc_id"), 1000, ":split")
+    )
+    test = sided.where(F.col("sb") >= 900).select(
+        F.col("doc_id").alias("test_doc"), "sh"
+    )
+    train = sided.where(F.col("sb") < 800).select(
+        F.col("doc_id").alias("train_doc"), "sh"
+    )
+    return (
+        test.join(train, "sh")
+        .groupBy("test_doc", "train_doc")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= CONTAM_MIN_SHARED)
+    )
+
+
+CONTAMINATION_CHECK_SQL = f"""
+WITH {_SHINGLES_CTE},
+rare AS (SELECT sh FROM shingles GROUP BY sh HAVING count(*) <= {SHINGLE_DF_CAP}),
+sided AS (
+  SELECT s.doc_id, s.sh,
+         ('0x' || substring(md5(CAST(s.doc_id AS VARCHAR) || ':split'), 1, 15))
+           ::BIGINT % 1000 AS sb
+  FROM shingles s JOIN rare USING (sh))
+SELECT te.doc_id AS test_doc, tr.doc_id AS train_doc,
+       count(*) AS shared_shingles
+FROM sided te JOIN sided tr ON te.sh = tr.sh
+WHERE te.sb >= 900 AND tr.sb < 800
+GROUP BY 1, 2 HAVING count(*) >= {CONTAM_MIN_SHARED}
+"""
+
+
+CHUNK_BUDGET = 256
+
+
+def pack_chunks_query(spark, sf_dir):
+    """Sequence packing (concat-and-chunk) over the documents table —
+    see analytics.curation.pack_chunks for the two-phase distributed
+    prefix sum (the oracle's ordered window is the SEMANTIC spec; the
+    Spark plan never runs a global single-reducer window)."""
+    from .analytics.curation import pack_chunks
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_chunks(docs, "doc_id", "text", CHUNK_BUDGET)
+
+
+PACK_CHUNKS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS start_offset
+  FROM t)
+SELECT doc_id, n_tokens, start_offset,
+       start_offset // {CHUNK_BUDGET} AS chunk_id,
+       CASE WHEN n_tokens = 0 THEN 1
+            ELSE (start_offset + n_tokens - 1) // {CHUNK_BUDGET}
+                 - start_offset // {CHUNK_BUDGET} + 1 END AS n_chunks
+FROM c
+"""
+
+
+SHUFFLE_EPOCHS = 2
+
+
+def epoch_shuffle(spark, sf_dir):
+    """Reproducible per-epoch corpus shuffling: for each training epoch,
+    every document's position in that epoch's shuffled order, as the
+    rank of md5(doc_id || ':epoch<e>') — the deterministic reshuffle an
+    LLM training pipeline needs so every re-run, resume and backfill
+    reads the same order with zero coordination (seeded random()
+    changes with partitioning). Ranking a hash is safe cross-engine:
+    md5 strings are unique, no float ordering.
+
+    The numbering reuses compression.assign_doc_indexes' two-phase
+    range-partition + per-partition-count + Arrow numbering — a window
+    row_number over a whole epoch would funnel the corpus through one
+    reducer."""
+    from .compression import assign_doc_indexes
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id")
+    )
+    parts = []
+    for ep in range(SHUFFLE_EPOCHS):
+        keyed = docs.withColumn(
+            "h", F.md5(F.concat(F.col("doc_id"), F.lit(f":epoch{ep}")))
+        )
+        numbered = assign_doc_indexes(keyed, order_col="h")
+        parts.append(
+            numbered.select(
+                F.lit(ep).alias("epoch"),
+                F.col("doc_id").cast("long").alias("doc_id"),
+                (F.col("doc_index") + 1).alias("pos"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH e AS (SELECT unnest(generate_series(0, {SHUFFLE_EPOCHS - 1})) AS epoch),
+h AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(d.doc_id AS VARCHAR) || ':epoch' || CAST(e.epoch AS VARCHAR)) AS hh
+  FROM documents d CROSS JOIN e)
+SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+       row_number() OVER (PARTITION BY epoch ORDER BY hh) AS pos
+FROM h
+"""

@@ -792,6 +792,13 @@ EXTRA_ORACLE_QUERIES["events_transitions"] = (
     c.EVENTS_TRANSITIONS_SQL,
 )
 EXTRA_ORACLE_QUERIES["term_pmi"] = (t.term_pmi, t.TERM_PMI_SQL)
+EXTRA_ORACLE_QUERIES["doc_keywords"] = (t.doc_keywords, t.DOC_KEYWORDS_SQL)
+EXTRA_ORACLE_QUERIES["contamination_check"] = (
+    t.contamination_check,
+    t.CONTAMINATION_CHECK_SQL,
+)
+EXTRA_ORACLE_QUERIES["pack_chunks"] = (t.pack_chunks_query, t.PACK_CHUNKS_SQL)
+EXTRA_ORACLE_QUERIES["epoch_shuffle"] = (t.epoch_shuffle, t.EPOCH_SHUFFLE_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)

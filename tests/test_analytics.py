@@ -1582,3 +1582,54 @@ def test_media_metadata_drops_truncated_containers(spark):
     rows = [(0, "video", bad, {}), (1, "audio", bare_sync, {})]
     df = spark.createDataFrame(rows, ASSETS_SCHEMA)
     assert media_metadata(df).count() == 0
+
+
+def test_pack_chunks_hand_computed(spark):
+    """Concat-and-chunk packing over a hand corpus at budget=4:
+    offsets are the exclusive prefix sum in doc_id order and span
+    counts honor budget boundaries (incl. a doc that exactly fills a
+    chunk and a doc spanning three)."""
+    from google_like_search_engine_spark.analytics.curation import pack_chunks
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),          # 3 toks, start 0, chunk 0, 1 span
+            (2, "d"),              # 1 tok,  start 3, chunk 0, 1 span
+            (3, "e f g h"),        # 4 toks, start 4, chunk 1, 1 span (exact fill)
+            (4, "i j  k l m n o p q"),  # 9 toks (double space), start 8, chunks 2-4
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in pack_chunks(docs, budget=4).collect()
+    }
+    assert got[1] == {"doc_id": 1, "n_tokens": 3, "start_offset": 0,
+                      "chunk_id": 0, "n_chunks": 1}
+    assert got[2] == {"doc_id": 2, "n_tokens": 1, "start_offset": 3,
+                      "chunk_id": 0, "n_chunks": 1}
+    assert got[3] == {"doc_id": 3, "n_tokens": 4, "start_offset": 4,
+                      "chunk_id": 1, "n_chunks": 1}
+    assert got[4] == {"doc_id": 4, "n_tokens": 9, "start_offset": 8,
+                      "chunk_id": 2, "n_chunks": 3}
+
+
+def test_epoch_shuffle_is_permutation_and_differs(spark, sf_dir):
+    """Each epoch's positions are a 1..N permutation, epochs order the
+    corpus differently, and re-running yields the identical order."""
+    from google_like_search_engine_spark.catalog_text import epoch_shuffle
+
+    rows = epoch_shuffle(spark, sf_dir).collect()
+    by_ep = {}
+    for r in rows:
+        by_ep.setdefault(r["epoch"], {})[r["doc_id"]] = r["pos"]
+    assert set(by_ep) == {0, 1}
+    n = len(by_ep[0])
+    for ep in (0, 1):
+        assert sorted(by_ep[ep].values()) == list(range(1, n + 1))
+    assert by_ep[0] != by_ep[1]  # different epoch, different order
+    again = {
+        (r["epoch"], r["doc_id"]): r["pos"]
+        for r in epoch_shuffle(spark, sf_dir).collect()
+    }
+    assert all(again[(ep, d)] == p for ep, m in by_ep.items() for d, p in m.items())
