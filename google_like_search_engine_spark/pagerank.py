@@ -175,3 +175,56 @@ def bfs_depths(seeds: DataFrame, edges: DataFrame, max_depth: int) -> DataFrame:
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def hits_fixed_iters(
+    vertices: DataFrame, edges: DataFrame, iters: int = 3
+) -> DataFrame:
+    """HITS (hubs & authorities, Kleinberg) for a fixed number of power
+    iterations, in the EXACT integer formulation: starting from
+    hub = auth = 1, each iteration sets auth(v) = sum of hub over
+    in-edges then hub(u) = sum of the NEW auth over out-edges —
+    without per-iteration normalization the scores are integer counts
+    of weighted paths, so the computation is exact in any engine and
+    the induced ranking is identical to normalized HITS (normalization
+    divides every score by the same scalar). Scores grow by at most
+    (max_indeg * max_outdeg)^iters, so fixed small iteration counts
+    stay well inside int64 (callers needing many iterations should
+    normalize and accept float semantics).
+
+    vertices: (id); edges: (src, dst). Returns (id, auth, hub) for
+    every vertex (0 for vertices with no in/out edges).
+
+    Scale shape: per iteration, two shuffle joins of the edge relation
+    against a vertex-sized score relation and two key aggregations —
+    the standard distributed power-iteration step (same as
+    pagerank()); lineage is cut per iteration with localCheckpoint so
+    plan depth stays O(1). Complements pagerank(): HITS is the other
+    classic link-analysis ranker (query-dependent root-set scoring in
+    the original paper), reference analog jobs/PageRank.java:115-302.
+    """
+    ids = vertices.select("id")
+    hub = ids.select("id", F.lit(1).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        na = (
+            edges.join(hub.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("v"))
+        )
+        auth = (
+            ids.join(na, "id", "left")
+            .select("id", F.coalesce("v", F.lit(0)).cast("long").alias("auth"))
+            .localCheckpoint(eager=False)
+        )
+        nh = (
+            edges.join(auth.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("v"))
+        )
+        hub = (
+            ids.join(nh, "id", "left")
+            .select("id", F.coalesce("v", F.lit(0)).cast("long").alias("hub"))
+            .localCheckpoint(eager=False)
+        )
+    return auth.join(hub, "id")

@@ -742,6 +742,82 @@ EXTRA_ORACLE_QUERIES["crawl_frontier_bfs"] = (
     _crawl_frontier_bfs,
     CRAWL_FRONTIER_BFS_SQL,
 )
+HITS_ITERS = 3
+
+
+def _hits_scores(spark, sf_dir):
+    """HITS hubs & authorities over the same synthetic link graph as
+    pagerank_fixed_iters, in the exact integer (unnormalized)
+    formulation — see pagerank.hits_fixed_iters. Every score is an
+    int64 path count, so cross-engine agreement is exact by
+    construction (no rounding policy needed at all). The oracle
+    unrolls the HITS_ITERS iterations as a generated CTE chain: with
+    a fixed iteration count, recursion adds nothing over chaining."""
+    from .pagerank import hits_fixed_iters
+
+    docs = c.load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("i"))
+    edges = (
+        ids.select(
+            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * 3 + 11) % n).alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = hits_fixed_iters(
+        docs.select(F.col("doc_id").alias("id")), edges, iters=HITS_ITERS
+    )
+    return out.select(F.col("id").alias("doc_id"), "auth", "hub")
+
+
+def _hits_sql(iters: int) -> str:
+    ctes = ["h0 AS (SELECT i AS id, CAST(1 AS BIGINT) AS hub FROM ids)"]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"a{k}r AS (SELECT e.dst AS id, sum(h.hub) AS v"
+            f" FROM edges e JOIN h{k - 1} h ON h.id = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"a{k} AS (SELECT i AS id, CAST(coalesce(v, 0) AS BIGINT) AS auth"
+            f" FROM ids LEFT JOIN a{k}r ON a{k}r.id = i)"
+        )
+        ctes.append(
+            f"h{k}r AS (SELECT e.src AS id, sum(a.auth) AS v"
+            f" FROM edges e JOIN a{k} a ON a.id = e.dst GROUP BY e.src)"
+        )
+        ctes.append(
+            f"h{k} AS (SELECT i AS id, CAST(coalesce(v, 0) AS BIGINT) AS hub"
+            f" FROM ids LEFT JOIN h{k}r ON h{k}r.id = i)"
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH
+ids AS (SELECT doc_id AS i FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
+    UNION ALL
+    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
+  ) WHERE src <> dst
+),
+{chain}
+SELECT a.id AS doc_id, a.auth, h.hub
+FROM a{iters} a JOIN h{iters} h ON h.id = a.id
+"""
+
+
+HITS_SCORES_SQL = _hits_sql(HITS_ITERS)
+
+
+EXTRA_ORACLE_QUERIES["hits_scores"] = (_hits_scores, HITS_SCORES_SQL)
 EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["dataset_split"] = (t.dataset_split, t.DATASET_SPLIT_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)

@@ -1633,3 +1633,27 @@ def test_epoch_shuffle_is_permutation_and_differs(spark, sf_dir):
         for r in epoch_shuffle(spark, sf_dir).collect()
     }
     assert all(again[(ep, d)] == p for ep, m in by_ep.items() for d, p in m.items())
+
+
+def test_hits_fixed_iters_hand_computed(spark):
+    """One exact HITS iteration on a 3-node chain 0->1->2 plus 0->2:
+    auth1 = in-hub sums (0:0, 1:1, 2:2), hub1 = out-auth1 sums
+    (0: 1+2=3, 1: 2, 2: 0); second iteration from those by hand."""
+    from google_like_search_engine_spark.pagerank import hits_fixed_iters
+
+    ids = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2)], "src long, dst long"
+    )
+    one = {
+        r["id"]: (r["auth"], r["hub"])
+        for r in hits_fixed_iters(ids, edges, iters=1).collect()
+    }
+    assert one == {0: (0, 3), 1: (1, 2), 2: (2, 0)}
+    # iter 2: auth = in-hub1 (0:0, 1:3, 2:3+2=5); hub = out-auth2
+    # (0: 3+5=8, 1: 5, 2: 0)
+    two = {
+        r["id"]: (r["auth"], r["hub"])
+        for r in hits_fixed_iters(ids, edges, iters=2).collect()
+    }
+    assert two == {0: (0, 8), 1: (3, 5), 2: (5, 0)}
