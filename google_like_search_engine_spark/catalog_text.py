@@ -2300,3 +2300,147 @@ SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
        row_number() OVER (PARTITION BY epoch ORDER BY hh) AS pos
 FROM h
 """
+
+
+# Java regex (Spark) and RE2 (DuckDB) agree on this conservative
+# subset: character classes, bounded quantifiers, \d, \b — no
+# backrefs/lookaround (RE2 has neither)
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\b555-\d{4}\b"
+
+
+def pii_redact(spark, sf_dir):
+    """PII scrubbing: redact emails, IPv4 addresses and (555-prefixed
+    fixture) phone numbers from document text and count each class —
+    the privacy-cleaning pass every web-scale training corpus gets
+    before training. The testdata text is synthetic and PII-free, so
+    the entry first derives a text with deterministic doc_id-seeded
+    PII planted (both engines derive the identical string); the
+    operator itself is three chained regexp_replace's + counts, all
+    JVM-side whole-stage codegen — at 100 TB this is a pure map stage
+    with zero shuffle. Patterns stay inside the Java-regex/RE2 common
+    subset so the oracle replays them byte-for-byte."""
+    docs = load(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    t = docs.select("doc_id", planted.alias("t"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE,
+            "<IP>",
+        ),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return t.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(F.col("t"), F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_count(F.col("t"), F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+    )
+
+
+PII_REDACT_SQL = (
+    """
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS t
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+         t, '__EMAIL__', '<EMAIL>', 'g'),
+         '__IP__', '<IP>', 'g'),
+         '__PHONE__', '<PHONE>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(t, '__EMAIL__')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '__IP__')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '__PHONE__')) AS BIGINT) AS n_phones
+FROM t
+"""
+    .replace("__EMAIL__", PII_EMAIL_RE)
+    .replace("__IP__", PII_IPV4_RE)
+    .replace("__PHONE__", PII_PHONE_RE)
+)
+
+
+# per-mille target mixture over the lang strata + a corpus token
+# budget: integer arithmetic end to end, so the plan is exact in any
+# engine (weights as per-mille avoid float weights entirely)
+MIX_WEIGHTS_PM = {"en": 500, "de": 150, "fr": 150, "es": 100, "zh": 100}
+MIX_TOKEN_BUDGET = 20_000
+
+
+def source_mix_plan(spark, sf_dir):
+    """Data-mixture planning: given per-language target weights and a
+    total token budget, report per stratum the corpus inventory
+    (docs, tokens) and the sampling plan — target token count,
+    per-mille keep rate when downsampling, and the repeat factor
+    (epochs) when the stratum must be upsampled. This is the step
+    that turns 'train on 50% en / 15% de / ...' into concrete
+    per-stratum rates (the Pile/CCNet-style mixture table). All
+    integer division, so the plan is bit-identical across engines;
+    one hash aggregation over a map-side token count at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    ntok = F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+    w = F.lit(None).cast("long")
+    for k, v in sorted(MIX_WEIGHTS_PM.items()):
+        w = F.when(F.col("lang") == k, F.lit(v).cast("long")).otherwise(w)
+    agg = (
+        docs.select("lang", ntok.alias("nt"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+        .withColumn("weight_pm", w)
+        .where(F.col("weight_pm").isNotNull())
+    )
+    target = F.expr(f"weight_pm * {MIX_TOKEN_BUDGET} DIV 1000")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "weight_pm",
+        target.alias("target_tokens"),
+        F.least(F.lit(1000).cast("long"), target * 1000 / F.col("n_tokens"))
+        .cast("long")
+        .alias("keep_rate_pm"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            ((target + F.col("n_tokens") - 1) / F.col("n_tokens")).cast("long"),
+        ).alias("epochs"),
+    )
+
+
+SOURCE_MIX_PLAN_SQL = f"""
+WITH inv AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+              AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang),
+wts AS (
+  SELECT lang, n_docs, n_tokens,
+         CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 150 WHEN 'fr' THEN 150
+                   WHEN 'es' THEN 100 WHEN 'zh' THEN 100 END AS weight_pm
+  FROM inv),
+plan AS (
+  SELECT *, CAST(weight_pm * {MIX_TOKEN_BUDGET} // 1000 AS BIGINT) AS target_tokens
+  FROM wts WHERE weight_pm IS NOT NULL)
+SELECT lang, n_docs, n_tokens, CAST(weight_pm AS BIGINT) AS weight_pm,
+       target_tokens,
+       CAST(least(1000, target_tokens * 1000 // n_tokens) AS BIGINT) AS keep_rate_pm,
+       CAST(greatest(1, (target_tokens + n_tokens - 1) // n_tokens) AS BIGINT) AS epochs
+FROM plan
+"""

@@ -875,6 +875,11 @@ EXTRA_ORACLE_QUERIES["contamination_check"] = (
 )
 EXTRA_ORACLE_QUERIES["pack_chunks"] = (t.pack_chunks_query, t.PACK_CHUNKS_SQL)
 EXTRA_ORACLE_QUERIES["epoch_shuffle"] = (t.epoch_shuffle, t.EPOCH_SHUFFLE_SQL)
+EXTRA_ORACLE_QUERIES["pii_redact"] = (t.pii_redact, t.PII_REDACT_SQL)
+EXTRA_ORACLE_QUERIES["source_mix_plan"] = (
+    t.source_mix_plan,
+    t.SOURCE_MIX_PLAN_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
