@@ -186,6 +186,44 @@ def main():
         ("whole-stage codegen", has("[codegen id :")),
     ])
 
+    # PII scrubbing: a pure map stage — regexes evaluate inside
+    # codegen off the parquet scan, no exchange anywhere in the plan
+    audit("pii_redact", t.pii_redact(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("no shuffle", not_has("Exchange")),
+        ("whole-stage codegen", has("[codegen id :")),
+        ("column-pruned scan", has("ReadSchema: struct<doc_id:bigint,text:string>")),
+    ])
+
+    # mixture planning: one partial+final hash aggregation pair, the
+    # token count computed map-side before the exchange
+    audit("source_mix_plan", t.source_mix_plan(spark, sf_dir), [
+        ("hash aggregate", has("HashAggregate")),
+        ("no python udf", not_has("BatchEvalPython")),
+        ("column-pruned scan", has("ReadSchema: struct<text:string,lang:string>")),
+    ])
+
+    # keyword extraction: per-doc window (partitioned, not global) and
+    # the N relation broadcast
+    audit("doc_keywords", t.doc_keywords(spark, sf_dir), [
+        ("partitioned window", has("Window")),
+        ("broadcast N", has("BroadcastNestedLoopJoin")),
+        ("no python udf", not_has("BatchEvalPython")),
+    ])
+
+    # decontamination: shingle-key shuffle join, never doc pairs; the
+    # split buckets are codegen md5 expressions
+    # (at sf0.001 every join side fits the broadcast threshold, so the
+    # shingle join shows as BroadcastHashJoin; the size-invariant
+    # claims are: keyed equi-joins only, and the pair aggregation
+    # shuffles on (test_doc, train_doc))
+    audit("contamination_check", t.contamination_check(spark, sf_dir), [
+        ("no cartesian pair blowup", not_has("CartesianProduct")),
+        ("pair agg shuffles on keys", has("Exchange")),
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
     out_path = os.path.join(REPO, "BENCH", "plan_audit_round5.txt")
     failed = 0
     with open(out_path, "w") as f:
