@@ -2444,3 +2444,130 @@ SELECT lang, n_docs, n_tokens, CAST(weight_pm AS BIGINT) AS weight_pm,
        CAST(greatest(1, (target_tokens + n_tokens - 1) // n_tokens) AS BIGINT) AS epochs
 FROM plan
 """
+
+
+KMV_K = 32
+
+
+def kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch, oracle-checkable: hash
+    every document text to a 60-bit integer (md5 prefix), keep the K
+    smallest distinct hashes, and estimate the distinct-text count as
+    (K-1) / normalized_kth_min — the classic KMV/bottom-k estimator
+    behind approx-distinct in every engine. Unlike HyperLogLog the
+    whole sketch state is deterministic (hashes are md5, the K minima
+    are unique integers, LIMIT over them cannot tie), so the ESTIMATE
+    itself is oracle-checkable to the last rounded digit — a sketch
+    with an exactness proof. Output carries the estimate next to the
+    exact distinct count so the error is visible in the row.
+
+    Scale shape: bottom-K of a hashed column is TakeOrdered (per-
+    partition heaps + driver merge of K values, no global sort), and
+    the sketch merges by unioning bottom-K sets — the standard
+    mergeable-sketch contract. K=32 keeps the driver state trivial."""
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.encode(F.col("text"), "utf-8")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    mins = docs.select(h.alias("h")).distinct().orderBy("h").limit(KMV_K)
+    exact = docs.agg(F.countDistinct("text").alias("exact_distinct"))
+    sk = mins.agg(
+        F.count(F.lit(1)).alias("k"), F.max("h").alias("hk")
+    )
+    return sk.crossJoin(F.broadcast(exact)).select(
+        "k",
+        "hk",
+        F.round(
+            (F.col("k") - 1) * F.lit(float(1 << 60)) / F.col("hk"), 2
+        ).alias("estimate"),
+        "exact_distinct",
+    )
+
+
+KMV_DISTINCT_SQL = f"""
+WITH mins AS (
+  SELECT DISTINCT ('0x' || substring(md5(text), 1, 15))::BIGINT AS h
+  FROM documents ORDER BY h LIMIT {KMV_K}),
+sk AS (SELECT count(*) AS k, max(h) AS hk FROM mins),
+ex AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS exact_distinct FROM documents)
+SELECT sk.k, sk.hk,
+       round((sk.k - 1) * 1152921504606846976.0 / sk.hk, 2) AS estimate,
+       ex.exact_distinct
+FROM sk, ex
+"""
+
+
+FIXED_SAMPLE_PER_STRATUM = 3
+
+
+def stratified_fixed_sample(spark, sf_dir):
+    """Fixed-SIZE stratified sampling: exactly N documents per
+    language, chosen as the N smallest md5(doc_id || ':fix') hashes —
+    the deterministic complement to stratified_keep's fixed-RATE
+    sampling (eval sets and human-review batches need exact counts).
+    Hash-ordering makes the choice a pure function of the keys:
+    partitioning-invariant, reproducible, and tie-free (hashes of
+    distinct ids are distinct). The window partitions by stratum;
+    strata are bounded (languages), and rank-N-per-group stays a
+    per-partition top-N heap under Spark's WindowGroupLimit
+    optimization, never a full sort of the stratum."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":fix")))
+    win = Window.partitionBy("lang").orderBy("h")
+    return (
+        docs.select("lang", "doc_id", h.alias("h"))
+        .withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= FIXED_SAMPLE_PER_STRATUM)
+        .select("lang", "doc_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+STRATIFIED_FIXED_SAMPLE_SQL = f"""
+WITH h AS (
+  SELECT lang, doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':fix') AS h
+  FROM documents),
+r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM h)
+SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= {FIXED_SAMPLE_PER_STRATUM}
+"""
+
+
+def lexical_diversity(spark, sf_dir):
+    """Per-document lexical-diversity features: token count, distinct
+    token count, type-token ratio, in-doc hapax count (terms used
+    exactly once) and hapax ratio — the diversity half of quality
+    filtering (boilerplate and keyword-stuffed pages have pathological
+    TTR/hapax profiles; Gopher's repetition rules are the inverse of
+    this signal). One (doc, term) aggregation then one per-doc
+    aggregation; ratios are int/int rounded on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    tf = _tokens(docs).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.count(F.lit(1)) / F.sum("tf"), 4).alias("ttr"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+        F.round(
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)) / F.sum("tf"), 4
+        ).alias("hapax_ratio"),
+    )
+
+
+LEXICAL_DIVERSITY_SQL = f"""
+WITH {_TOKENS_CTE},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tokens GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(tf) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       round(CAST(count(*) AS DOUBLE) / sum(tf), 4) AS ttr,
+       CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE) / sum(tf), 4)
+         AS hapax_ratio
+FROM tf GROUP BY doc_id
+"""

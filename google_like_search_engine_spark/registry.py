@@ -880,6 +880,15 @@ EXTRA_ORACLE_QUERIES["source_mix_plan"] = (
     t.source_mix_plan,
     t.SOURCE_MIX_PLAN_SQL,
 )
+EXTRA_ORACLE_QUERIES["kmv_distinct"] = (t.kmv_distinct, t.KMV_DISTINCT_SQL)
+EXTRA_ORACLE_QUERIES["stratified_fixed_sample"] = (
+    t.stratified_fixed_sample,
+    t.STRATIFIED_FIXED_SAMPLE_SQL,
+)
+EXTRA_ORACLE_QUERIES["lexical_diversity"] = (
+    t.lexical_diversity,
+    t.LEXICAL_DIVERSITY_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
