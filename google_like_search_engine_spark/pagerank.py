@@ -228,3 +228,47 @@ def hits_fixed_iters(
             .localCheckpoint(eager=False)
         )
     return auth.join(hub, "id")
+
+
+def triangle_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counting over the undirected view of a link
+    graph — the classic MapReduce graph benchmark and the basis of
+    clustering-coefficient / community features. Edges are
+    canonicalized to (lo, hi) with lo < hi and deduplicated, triangles
+    enumerated once each as a < b < c via two equi-joins plus a
+    closing-edge join, then each triangle credits its three corners.
+    All integers, exact in any engine.
+
+    Scale shape: the standard node-iterator join — every join is a
+    keyed equi-join on a vertex column (shuffle or broadcast, never
+    cartesian); the canonical a<b<c orientation means each triangle is
+    produced exactly once, and the heavy middle join fans out only on
+    true wedges. Skewed hubs (high-degree vertices) are the known hot
+    key; production mitigation is degree-ordered orientation (point
+    edges from low to high degree), which this canonical form
+    approximates by id order.
+    """
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+    )
+    ab = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    per = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    return (
+        vertices.select("id")
+        .join(per, "id", "left")
+        .select(
+            "id", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+        )
+    )

@@ -818,6 +818,66 @@ HITS_SCORES_SQL = _hits_sql(HITS_ITERS)
 
 
 EXTRA_ORACLE_QUERIES["hits_scores"] = (_hits_scores, HITS_SCORES_SQL)
+
+
+def _triangle_counts(spark, sf_dir):
+    """Per-vertex triangle counts over the same synthetic link graph
+    (undirected view) — see pagerank.triangle_counts. Integer-exact;
+    the oracle enumerates a<b<c triangles with three equi-joins."""
+    from .pagerank import triangle_counts
+
+    docs = c.load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("i"))
+    edges = (
+        ids.select(
+            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * 3 + 11) % n).alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = triangle_counts(docs.select(F.col("doc_id").alias("id")), edges)
+    return out.select(F.col("id").alias("doc_id"), "n_triangles")
+
+
+TRIANGLE_COUNTS_SQL = """
+WITH
+ids AS (SELECT doc_id AS i FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
+    UNION ALL
+    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
+  ) WHERE src <> dst
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
+),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM und ab
+  JOIN und bc ON bc.lo = ab.hi
+  JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+per AS (SELECT id, count(*) AS n_triangles FROM corners GROUP BY id)
+SELECT i AS doc_id, CAST(coalesce(per.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM ids LEFT JOIN per ON per.id = i
+"""
+
+
+EXTRA_ORACLE_QUERIES["triangle_counts"] = (_triangle_counts, TRIANGLE_COUNTS_SQL)
 EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["dataset_split"] = (t.dataset_split, t.DATASET_SPLIT_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)

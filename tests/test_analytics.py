@@ -1657,3 +1657,19 @@ def test_hits_fixed_iters_hand_computed(spark):
         for r in hits_fixed_iters(ids, edges, iters=2).collect()
     }
     assert two == {0: (0, 8), 1: (3, 5), 2: (5, 0)}
+
+
+def test_triangle_counts_hand_computed(spark):
+    """K4 minus one edge has exactly 2 triangles; the two vertices on
+    the missing edge sit in 1 each, the shared edge's endpoints in 2."""
+    from google_like_search_engine_spark.pagerank import triangle_counts
+
+    ids = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    # edges of K4 on {0,1,2,3} minus (2,3), plus isolated vertex 4;
+    # directions/duplicates must not matter
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (3, 1), (2, 2)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["n_triangles"] for r in triangle_counts(ids, edges).collect()}
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1, 4: 0}
