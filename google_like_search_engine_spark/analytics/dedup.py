@@ -484,3 +484,76 @@ def dedup_keep_list(
         )
         .withColumn("keep", F.col("id") == F.col("component_id"))
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 10,
+) -> DataFrame:
+    """Exact-substring deduplication spans (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    operator): find every ``width``-token run that occurs more than
+    once in the corpus (across documents or repeated within one), and
+    merge the hits into maximal per-document removal intervals.
+    Returns (id, span_start, span_end, n_grams) with 1-based inclusive
+    token positions (positions count non-empty tokens) — the spans a
+    curation pipeline cuts out of the training text.
+
+    Plan shape: one pass builds the positional shingle relation
+    JVM-side (transform over an index sequence + posexplode — no
+    self-joins, no Python); duplicated shingles are a self-semi-join
+    on the shingle key (hash-partitioned, bounded per-key fan-out);
+    interval merging is the gaps-and-islands pattern with two
+    per-document windows (running max end -> island flag -> island
+    id), all integer arithmetic so any engine agrees bit-for-bit.
+    At 100 TB the shingle relation is the big intermediate; hashing
+    the shingle text to a 64-bit key (xxhash64) before the join is
+    the production variant — kept as readable text here so the oracle
+    can replay it verbatim.
+    """
+    from pyspark.sql import Window
+
+    a = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    grams = F.when(
+        F.size(a) >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size(a) - width),
+            lambda i: F.concat_ws(" ", F.slice(a, i + 1, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "h")
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c")).where(F.col("c") > 1)
+    hits = sh.join(dup.select("h"), "h", "left_semi").select(
+        "id", "pos", (F.col("pos") + width - 1).alias("e")
+    )
+    order = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.select(
+        "id",
+        "pos",
+        "e",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    island = F.sum("new_island").over(
+        order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.select("id", "pos", "e", island.alias("island"))
+        .groupBy("id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_grams"
+        )
+    )

@@ -2571,3 +2571,61 @@ SELECT doc_id,
          AS hapax_ratio
 FROM tf GROUP BY doc_id
 """
+
+
+SUBSTR_DUP_WIDTH = 10
+
+
+def substring_dup_spans(spark, sf_dir):
+    """Exact-substring dedup spans over the documents table — see
+    analytics.dedup.substring_dup_spans (Lee et al. 2022 semantics:
+    every 10-token run occurring more than once in the corpus, merged
+    into maximal per-doc removal intervals)."""
+    from .analytics.dedup import substring_dup_spans as _spans
+
+    docs = load(spark, sf_dir, "documents")
+    return _spans(docs, "doc_id", "text", SUBSTR_DUP_WIDTH)
+
+
+SUBSTRING_DUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS pos
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents)
+  WHERE w <> ''),
+arr AS (SELECT doc_id, list(w ORDER BY pos) AS a FROM toks GROUP BY doc_id),
+sh AS (
+  SELECT doc_id, i AS pos,
+         list_aggregate(a[i:i + {SUBSTR_DUP_WIDTH - 1}], 'string_agg', ' ') AS h
+  FROM arr CROSS JOIN unnest(generate_series(1, len(a) - {SUBSTR_DUP_WIDTH - 1}))
+       AS g(i)),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 1),
+hits AS (
+  SELECT s.doc_id, s.pos, s.pos + {SUBSTR_DUP_WIDTH - 1} AS e
+  FROM sh s JOIN dup USING (h)),
+flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) IS NULL
+              OR pos > max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+              ) + 1
+              THEN 1 ELSE 0 END AS new_island
+  FROM hits),
+islands AS (
+  SELECT doc_id, pos, e,
+         sum(new_island) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS island
+  FROM flagged)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       count(*) AS n_grams
+FROM islands GROUP BY doc_id, island
+"""

@@ -949,6 +949,10 @@ EXTRA_ORACLE_QUERIES["lexical_diversity"] = (
     t.lexical_diversity,
     t.LEXICAL_DIVERSITY_SQL,
 )
+EXTRA_ORACLE_QUERIES["substring_dup_spans"] = (
+    t.substring_dup_spans,
+    t.SUBSTRING_DUP_SPANS_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)

@@ -1673,3 +1673,28 @@ def test_triangle_counts_hand_computed(spark):
     )
     got = {r["id"]: r["n_triangles"] for r in triangle_counts(ids, edges).collect()}
     assert got == {0: 2, 1: 2, 2: 1, 3: 1, 4: 0}
+
+
+def test_substring_dup_spans_hand_computed(spark):
+    """Width-3 fixture: 'a b c d' repeats across docs 1/2 -> two
+    3-gram hits at pos 1,2 in each, merged to one span [1,4]; doc 3
+    repeats 'x y z' WITHIN itself (pos 1 and 4, adjacent spans [1,3]
+    and [4,6] merge to [1,6]); doc 4 shares nothing -> no row."""
+    from google_like_search_engine_spark.analytics.dedup import (
+        substring_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d p q r"),
+            (2, "z z a b c d"),
+            (3, "x y z x y z"),
+            (4, "unique tokens only here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["n_grams"]
+        for r in substring_dup_spans(docs, width=3).collect()
+    }
+    assert got == {(1, 1, 4): 2, (2, 3, 6): 2, (3, 1, 6): 2}
