@@ -272,3 +272,43 @@ def triangle_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             "id", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
         )
     )
+
+
+def clustering_coefficients(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex: cc = 2T / (d(d-1))
+    over the undirected simple graph (T = triangles at the vertex,
+    d = degree) — the standard cohesion feature for link-spam and
+    community detection. Integer T and d; the single ratio is rounded,
+    so engines agree. Returns (id, degree, n_triangles, cc)."""
+    und = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("id"))
+        .unionAll(und.select(F.col("hi").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_counts(vertices, edges)
+    return (
+        tri.join(deg, "id", "left")
+        .select(
+            "id",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
+            "n_triangles",
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.col("n_triangles")
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    4,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cc"),
+        )
+    )

@@ -878,6 +878,84 @@ FROM ids LEFT JOIN per ON per.id = i
 
 
 EXTRA_ORACLE_QUERIES["triangle_counts"] = (_triangle_counts, TRIANGLE_COUNTS_SQL)
+
+
+def _clustering_coeffs(spark, sf_dir):
+    """Local clustering coefficients over the same synthetic graph —
+    see pagerank.clustering_coefficients (integer degree/triangles,
+    one rounded ratio)."""
+    from .pagerank import clustering_coefficients
+
+    docs = c.load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("i"))
+    edges = (
+        ids.select(
+            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * 3 + 11) % n).alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    out = clustering_coefficients(docs.select(F.col("doc_id").alias("id")), edges)
+    return out.select(
+        F.col("id").alias("doc_id"), "degree", "n_triangles", "cc"
+    )
+
+
+CLUSTERING_COEFFS_SQL = """
+WITH
+ids AS (SELECT doc_id AS i FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
+    UNION ALL
+    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
+  ) WHERE src <> dst
+),
+und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
+),
+deg AS (
+  SELECT id, count(*) AS degree FROM (
+    SELECT lo AS id FROM und UNION ALL SELECT hi FROM und
+  ) GROUP BY id
+),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM und ab
+  JOIN und bc ON bc.lo = ab.hi
+  JOIN und ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+),
+corners AS (
+  SELECT a AS id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+),
+per AS (SELECT id, count(*) AS n_triangles FROM corners GROUP BY id)
+SELECT i AS doc_id,
+       CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(per.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN coalesce(deg.degree, 0) >= 2
+            THEN round(2.0 * coalesce(per.n_triangles, 0)
+                       / (deg.degree * (deg.degree - 1)), 4)
+            ELSE 0.0 END AS cc
+FROM ids
+LEFT JOIN deg ON deg.id = i
+LEFT JOIN per ON per.id = i
+"""
+
+
+EXTRA_ORACLE_QUERIES["clustering_coeffs"] = (
+    _clustering_coeffs,
+    CLUSTERING_COEFFS_SQL,
+)
 EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["dataset_split"] = (t.dataset_split, t.DATASET_SPLIT_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
