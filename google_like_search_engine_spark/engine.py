@@ -544,6 +544,72 @@ class SearchEngine:
             total, threshold=threshold, doc_stats_agg=stats,
         )
 
+    def search_bm25_sharded(
+        self, index_paths: list, query: str, k: int = 10
+    ) -> DataFrame:
+        """Federated BM25 top-k over MULTIPLE independently built
+        blocked indexes — the serving shape a 100 TB corpus actually
+        deploys (no single build job owns the whole corpus; shards are
+        built, merged and replaced independently, and queries
+        scatter-gather).
+
+        Correctness hinges on GLOBAL collection statistics: BM25's
+        idf and length normalization must use corpus-wide df / N /
+        avgdl or shard scores aren't comparable. Both are recovered
+        from the shards' meta + term_stats sidecars (driver-side
+        pyarrow, zero Spark jobs): N = sum of shard totals, avgdl =
+        doc-weighted mean, df = per-term sum. Each shard then runs the
+        normal MaxScore/block-max pruned plan with the global stats
+        injected (per-shard max_tf keeps its block-max bounds valid —
+        they only need to bound that shard's scores), and the k
+        winners per shard merge driver-side by (score desc, url) —
+        the same tie-break as the single-index path, so the result is
+        row-identical to querying one index over the union corpus
+        (pinned by test). Per-query cost: one pruned scoring job per
+        shard + a k*shards driver merge."""
+        from .wand import _local_result_df
+
+        words = sorted({w.lower() for w in expand_query(query)})
+        shard_meta = []
+        for p in index_paths:
+            _b, _d, total, stats, ts = self._blocked_handles(p)
+            if total is None or stats is None or ts is None:
+                raise ValueError(
+                    f"sharded search needs meta + term_stats sidecars: {p}"
+                )
+            shard_meta.append((p, total, stats, ts))
+        n_global = sum(m[1] for m in shard_meta)
+        if n_global == 0:
+            return self.spark.createDataFrame([], "url string, score double")
+        avgdl_global = (
+            sum(m[1] * m[2][0] for m in shard_meta) / n_global
+        )
+        df_global: dict = {}
+        for _p, _t, _s, ts in shard_meta:
+            for w in words:
+                if w in ts:
+                    df_global[w] = df_global.get(w, 0) + ts[w][0]
+        merged: list = []
+        for p, _total, stats, ts in shard_meta:
+            blocks, dsi, _t2, _s2, _ts2 = self._pruned_blocked_scan(
+                p, words, compute_fallback=True
+            )
+            if blocks is None:
+                continue
+            gts = {
+                w: (df_global[w], ts[w][1], ts[w][2]) for w in words if w in ts
+            }
+            if not gts:
+                continue
+            part = blocked_maxscore_topk(
+                self.spark, query, blocks.drop("term_bucket"), dsi,
+                n_global, k=k, doc_stats_agg=(avgdl_global, stats[1]),
+                term_stats=gts, url_lookup=self._blocked_url_dict(p),
+            )
+            merged.extend((r["url"], float(r["score"])) for r in part.collect())
+        merged.sort(key=lambda x: (-x[1], x[0]))
+        return _local_result_df(self.spark, merged[:k])
+
     def search_phrase_blocked(self, index_path: str, phrase: str, k: int = 10) -> DataFrame:
         """Exact positional phrase query off the blocked index's varint
         positions store (wand.blocked_phrase_topk). Term-bucket

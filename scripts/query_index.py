@@ -8,6 +8,8 @@
 
 phrase / proximity / bm25-threshold run against the blocked layout
 (<index>/blocked); proximity takes the query words as anchor+partners.
+bm25-sharded scatter-gathers over --shards (comma-separated blocked
+dirs) with global df/N/avgdl recombined from the shards' sidecars.
 """
 
 from __future__ import annotations
@@ -19,7 +21,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BLOCKED_SCORERS = {"bm25-blocked", "bm25-threshold", "phrase", "proximity"}
+BLOCKED_SCORERS = {"bm25-blocked", "bm25-threshold", "phrase", "proximity",
+                   "bm25-sharded"}
 
 
 def main():
@@ -28,7 +31,8 @@ def main():
     ap.add_argument("--query", required=True)
     ap.add_argument("--scorer", default="tfidf",
                     choices=["tfidf", "bm25", "bm25-pruned", "bm25-blocked",
-                             "bm25-threshold", "phrase", "proximity"])
+                             "bm25-threshold", "phrase", "proximity",
+                             "bm25-sharded"])
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--threshold", type=float, default=1.0,
                     help="score cutoff for bm25-threshold (all docs >= it)")
@@ -38,6 +42,9 @@ def main():
                     help="comma-separated +terms (bm25-blocked scorer)")
     ap.add_argument("--excluded", default="",
                     help="comma-separated -terms (bm25-blocked scorer)")
+    ap.add_argument("--shards", default="",
+                    help="comma-separated blocked index dirs "
+                         "(bm25-sharded scorer; overrides --index)")
     args = ap.parse_args()
 
     from google_like_search_engine_spark.engine import SearchEngine
@@ -76,6 +83,9 @@ def _run_query(eng, args, blocked):
             required=[t for t in args.required.split(",") if t],
             excluded=[t for t in args.excluded.split(",") if t],
         )
+    elif args.scorer == "bm25-sharded":
+        paths = [p for p in args.shards.split(",") if p] or [blocked]
+        res = eng.search_bm25_sharded(paths, args.query, k=args.k)
     elif args.scorer == "bm25-threshold":
         res = eng.search_bm25_threshold_blocked(
             blocked, args.query, threshold=args.threshold

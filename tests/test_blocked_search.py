@@ -468,3 +468,74 @@ def test_blocked_required_excluded_filters(spark, tmp_path):
     noop = {r["url"] for r in eng.search_bm25_blocked(
         path, "spark", k=10, excluded=["zzznope"]).collect()}
     assert noop == {"u0", "u1", "u2", "u3"}
+
+
+def test_sharded_search_equals_single_index(spark, tmp_path):
+    """Scatter-gather over two independently built shards with global
+    stats recombined from sidecars == one index over the union corpus
+    (urls and scores to 1e-6, including terms living in one shard
+    only and k exceeding the match count)."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.indexer import build_postings
+
+    rows = [
+        (str(i), f"u{i:02d}",
+         " ".join(
+             ["spark"] * (1 + i % 3)
+             + ["shuffle"] * (i % 2)
+             + ["join"] * (i % 4)
+             + ([f"rare{i}"] if i % 5 == 0 else [])
+             + (["onlyeven"] if i % 2 == 0 else [])
+             + ["filler", f"tok{i % 7}"]
+         ))
+        for i in range(24)
+    ]
+
+    def build(subset, path):
+        docs = spark.createDataFrame(
+            subset, "doc_id string, url string, text string"
+        )
+        e = SearchEngine(spark)
+        e.postings = build_postings(docs)
+        e.doc_stats = e.postings.groupBy("doc_id", "url").agg(
+            F.sum("tf").alias("n_term_entries")
+        )
+        e.term_df = e.postings.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        e.total_documents = len(subset)
+        e._avgdl = float(
+            e.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0]
+        )
+        e.save_blocked(path)
+        return e
+
+    full_path = str(tmp_path / "full")
+    s0_path = str(tmp_path / "s0")
+    s1_path = str(tmp_path / "s1")
+    eng = build(rows, full_path)
+    build([r for r in rows if int(r[0]) % 2 == 0], s0_path)
+    build([r for r in rows if int(r[0]) % 2 == 1], s1_path)
+
+    for query, k in [
+        ("spark shuffle", 5),
+        ("join filler", 8),
+        ("onlyeven spark", 6),      # one query term lives only in shard 0
+        ("rare0 rare5", 50),        # k far beyond the match count
+    ]:
+        single = [
+            (r["url"], round(r["score"], 6))
+            for r in eng.search_bm25_blocked(full_path, query, k=k).collect()
+        ]
+        sharded = [
+            (r["url"], round(r["score"], 6))
+            for r in eng.search_bm25_sharded(
+                [s0_path, s1_path], query, k=k
+            ).collect()
+        ]
+        assert sharded == single, (query, k)
+
+    # absent term everywhere -> empty
+    assert eng.search_bm25_sharded([s0_path, s1_path], "zzznope").collect() == []
