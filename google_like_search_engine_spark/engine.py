@@ -610,6 +610,53 @@ class SearchEngine:
         merged.sort(key=lambda x: (-x[1], x[0]))
         return _local_result_df(self.spark, merged[:k])
 
+    def merge_blocked_shards(self, shard_paths: list, out_path: str) -> None:
+        """Segment merge: combine independently built blocked indexes
+        into one, WITHOUT re-tokenizing — the Lucene-style background
+        compaction a sharded 100 TB deployment runs to keep shard
+        counts bounded (tokenize/stem is the expensive pass; a merge
+        is decode -> renumber -> re-encode). Later shards take
+        precedence per url (merge_pages semantics), so merging a base
+        shard with a fresher delta shard is an index update.
+
+        Plan shape: each shard's varint blocks decode in one Arrow
+        pass, re-keyed to urls through the shard's doc-stats dimension
+        (broadcastable), the union renumbers doc_indexes globally (the
+        two-phase numbering, url order) and re-blocks — every step is
+        the build pipeline minus tokenize. The merged index is
+        byte-compatible with save_blocked output (same sidecars), so
+        every query path including search_bm25_sharded serves it."""
+        from .compression import unblock_postings
+
+        parts = []
+        for p in shard_paths:
+            blocks, dsi, _t, _s, _ts = self._blocked_handles(p)
+            post = (
+                unblock_postings(blocks.drop("term_bucket"))
+                .join(dsi, "doc_index")
+                .select(
+                    F.col("url").alias("doc_id"),
+                    "url",
+                    "term",
+                    "tf",
+                    "positions",
+                    F.col("n_term_entries").alias("dl"),
+                )
+            )
+            parts.append((post, dsi.select("url", "n_term_entries")))
+        combined, docs = parts[0]
+        for post, d in parts[1:]:
+            newer = d.select("url")
+            combined = combined.join(newer, "url", "left_anti").unionByName(post)
+            docs = docs.join(newer, "url", "left_anti").unionByName(d)
+        merged = SearchEngine(self.spark)
+        merged.postings = combined
+        merged.doc_stats = docs.select(
+            F.col("url").alias("doc_id"), "url", "n_term_entries"
+        )
+        merged.save_blocked(out_path)
+        self._invalidate_blocked_cache(out_path)
+
     def search_phrase_blocked(self, index_path: str, phrase: str, k: int = 10) -> DataFrame:
         """Exact positional phrase query off the blocked index's varint
         positions store (wand.blocked_phrase_topk). Term-bucket

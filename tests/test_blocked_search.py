@@ -539,3 +539,77 @@ def test_sharded_search_equals_single_index(spark, tmp_path):
 
     # absent term everywhere -> empty
     assert eng.search_bm25_sharded([s0_path, s1_path], "zzznope").collect() == []
+
+
+def test_merge_blocked_shards_equals_single_and_respects_precedence(
+    spark, tmp_path
+):
+    """Segment merge: (a) merging two disjoint shards reproduces the
+    single-index answer url-and-score-exactly (incl. phrase search —
+    positions survive the decode/re-encode round trip); (b) a later
+    delta shard overrides an earlier shard's version of the same url."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.indexer import build_postings
+
+    rows = [
+        (str(i), f"u{i:02d}",
+         " ".join(
+             ["spark"] * (1 + i % 3) + ["shuffle"] * (i % 2)
+             + ["join", "table", "scan"][: 1 + i % 3] + [f"tok{i % 5}"]
+         ))
+        for i in range(16)
+    ]
+
+    def build(subset, path):
+        docs = spark.createDataFrame(
+            subset, "doc_id string, url string, text string"
+        )
+        e = SearchEngine(spark)
+        e.postings = build_postings(docs)
+        e.doc_stats = e.postings.groupBy("doc_id", "url").agg(
+            F.sum("tf").alias("n_term_entries")
+        )
+        e.term_df = e.postings.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        e.total_documents = len(subset)
+        e._avgdl = float(
+            e.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0]
+        )
+        e.save_blocked(path)
+        return e
+
+    full_p, s0_p, s1_p = (str(tmp_path / n) for n in ("full", "s0", "s1"))
+    eng = build(rows, full_p)
+    build([r for r in rows if int(r[0]) % 2 == 0], s0_p)
+    build([r for r in rows if int(r[0]) % 2 == 1], s1_p)
+
+    merged_p = str(tmp_path / "merged")
+    eng.merge_blocked_shards([s0_p, s1_p], merged_p)
+
+    for query in ("spark shuffle", "join scan"):
+        single = [(r["url"], round(r["score"], 6)) for r in
+                  eng.search_bm25_blocked(full_p, query, k=8).collect()]
+        merged = [(r["url"], round(r["score"], 6)) for r in
+                  eng.search_bm25_blocked(merged_p, query, k=8).collect()]
+        assert merged == single, query
+    ph_single = sorted(
+        (r["url"], r["n_occurrences"]) for r in
+        eng.search_phrase_blocked(full_p, "table scan", k=100).collect())
+    ph_merged = sorted(
+        (r["url"], r["n_occurrences"]) for r in
+        eng.search_phrase_blocked(merged_p, "table scan", k=100).collect())
+    assert ph_merged == ph_single and ph_single  # nonempty
+
+    # precedence: delta shard rewrites u00 to contain 'fresh' only
+    delta_p = str(tmp_path / "delta")
+    build([("0", "u00", "fresh content only")], delta_p)
+    upd_p = str(tmp_path / "updated")
+    eng.merge_blocked_shards([s0_p, s1_p, delta_p], upd_p)
+    fresh = {r["url"] for r in
+             eng.search_bm25_blocked(upd_p, "fresh", k=10).collect()}
+    stale = {r["url"] for r in
+             eng.search_bm25_blocked(upd_p, "spark", k=100).collect()}
+    assert fresh == {"u00"} and "u00" not in stale
