@@ -4,7 +4,7 @@
 Usage (cluster):
   spark-submit --py-files engine.zip scripts/build_index.py \
       --pages s3://bucket/pages --out s3://bucket/index \
-      [--blocked] [--pagerank] [--resumable --buckets 64]
+      [--blocked [--shards N]] [--pagerank] [--resumable --buckets 64]
 
 Usage (local): python scripts/build_index.py --pages ... --out ...
 
@@ -41,6 +41,11 @@ def main():
         "defaults to the fixture vocabulary",
     )
     ap.add_argument("--blocked", action="store_true")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="with --blocked: also build N hash-sharded "
+                         "blocked indexes under <out>/shards/ (each an "
+                         "independent index; query with bm25-sharded, "
+                         "compact with merge_shards.py)")
     ap.add_argument("--pagerank", action="store_true")
     ap.add_argument("--resumable", action="store_true")
     ap.add_argument("--buckets", type=int, default=16)
@@ -93,6 +98,24 @@ def main():
         )
         if args.blocked:
             eng.save_blocked(os.path.join(args.out, "blocked"))
+        if args.blocked and args.shards > 1:
+            # hash-shard by url: each shard is a full independent
+            # blocked index over its subset (own sidecars), the unit a
+            # 100 TB deployment builds/replaces per job; global stats
+            # recombine at query time (search_bm25_sharded)
+            from pyspark.sql import functions as F
+
+            for i in range(args.shards):
+                sub = eng.postings.where(
+                    F.pmod(F.xxhash64("url"), F.lit(args.shards)) == i
+                )
+                se = SearchEngine(spark)
+                se.postings = sub
+                se.doc_stats = eng.doc_stats.where(
+                    F.pmod(F.xxhash64("url"), F.lit(args.shards)) == i
+                )
+                se.save_blocked(os.path.join(args.out, "shards", f"s{i}"))
+            print(f"built {args.shards} blocked shards -> {args.out}/shards/")
         n_docs = eng.total_documents
     dt = time.perf_counter() - t0
     print(f"indexed {n_docs} docs in {dt:.1f}s ({n_docs / dt:.1f} docs/sec) -> {args.out}")
