@@ -116,6 +116,7 @@ def make_server(
     port: int = 8080,
     blocked_path: str | None = None,
     cache_size: int = 0,
+    shard_paths: list | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -125,6 +126,12 @@ def make_server(
       GET /proximity?terms=a,b&window=5    all terms near each anchor
       GET /threshold?query=a+b&threshold=1.5  all docs scoring >= cutoff
       GET /stats                           metadata-only index report
+
+    With ``shard_paths`` (a list of save_blocked dirs), /search
+    scatter-gathers over the shards with global stats recombined
+    (engine.search_bm25_sharded) instead of the flat/served paths —
+    point the server at a sharded deployment with no flat index loaded
+    at all.
 
     ``cache_size`` > 0 enables an LRU cache of that many responses on
     the deterministic query routes (an index is immutable between
@@ -291,6 +298,15 @@ def make_server(
                         )
                         return
                     res = engine.search(query, k=k)
+                elif shard_paths:
+                    if required or excluded:
+                        self._json(
+                            400,
+                            {"error": "required/excluded not supported "
+                                      "on the sharded path"},
+                        )
+                        return
+                    res = engine.search_bm25_sharded(shard_paths, query, k=k)
                 elif getattr(engine, "_served", None) is not None:
                     res = engine.search_bm25_served(
                         query, k=k, required=required, excluded=excluded

@@ -32,6 +32,12 @@ def main():
         "routes (the index is immutable while serving)",
     )
     ap.add_argument(
+        "--shards", default="",
+        help="comma-separated blocked shard dirs: /search scatter-"
+        "gathers over them with global stats (no flat index needed; "
+        "--index may point anywhere when set)",
+    )
+    ap.add_argument(
         "--version", type=int, default=None,
         help="serve a SNAPSHOT of a versioned index (save_versioned "
         "layout): --version N time-travels, omitting it serves the "
@@ -45,6 +51,22 @@ def main():
 
     spark = get_spark("serve")
     eng = SearchEngine(spark)
+    shard_paths = [p for p in args.shards.split(",") if p]
+    if shard_paths:
+        srv = make_server(
+            eng, args.host, args.port, cache_size=args.cache,
+            shard_paths=shard_paths,
+        )
+        print(f"sharded serving over {len(shard_paths)} shards on "
+              f"http://{args.host}:{args.port}  (/search?query=)")
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            srv.shutdown()
+            spark.stop()
+        return
     import glob as _glob
 
     root = args.index.removeprefix("file://")

@@ -440,3 +440,47 @@ def test_boolean_wildcard_prefix_expansion(engine):
         for r in engine.search_boolean(" OR ".join(comps), k=10_000).collect()
     }
     assert star == explicit and star
+
+
+def test_sharded_search_route(engine, tmp_path_factory):
+    """/search on a shard-configured server scatter-gathers with
+    global stats and matches the engine's own blocked single-index
+    answer; filters 400 (unsupported on the sharded path)."""
+    tmp = tmp_path_factory.mktemp("shardsrv")
+    full_p, s0_p, s1_p = (str(tmp / n) for n in ("full", "s0", "s1"))
+    engine.save_blocked(full_p)
+
+    spark = engine.spark
+    from google_like_search_engine_spark.indexer import build_postings
+
+    def build_shard(pred, path):
+        e = SearchEngine(spark)
+        e.postings = engine.postings.where(pred)
+        e.doc_stats = engine.doc_stats.where(pred)
+        e.save_blocked(path)
+
+    shard_of = F.pmod(F.xxhash64("url"), F.lit(2))
+    build_shard(shard_of == 0, s0_p)
+    build_shard(shard_of == 1, s1_p)
+
+    srv = make_server(engine, "127.0.0.1", 0, shard_paths=[s0_p, s1_p])
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _get(f"{base}/search?query=search+engine&k=5")
+        assert code == 200
+        want = [
+            (r["url"], round(r["score"], 6))
+            for r in engine.search_bm25_blocked(
+                full_p, "search engine", k=5
+            ).collect()
+        ]
+        got = [(r["url"], round(r["score"], 6)) for r in body["results"]]
+        assert got == want
+        code2, body2 = _get_allow_error(
+            f"{base}/search?query=search&required=engine"
+        )
+        assert code2 == 400 and "sharded" in body2["error"]
+    finally:
+        srv.shutdown()
