@@ -545,7 +545,12 @@ class SearchEngine:
         )
 
     def search_bm25_sharded(
-        self, index_paths: list, query: str, k: int = 10
+        self,
+        index_paths: list,
+        query: str,
+        k: int = 10,
+        required: list | None = None,
+        excluded: list | None = None,
     ) -> DataFrame:
         """Federated BM25 top-k over MULTIPLE independently built
         blocked indexes — the serving shape a 100 TB corpus actually
@@ -566,10 +571,22 @@ class SearchEngine:
         the same tie-break as the single-index path, so the result is
         row-identical to querying one index over the union corpus
         (pinned by test). Per-query cost: one pruned scoring job per
-        shard + a k*shards driver merge."""
+        shard (submitted CONCURRENTLY — Spark schedules jobs from
+        multiple threads, so fan-out latency is the slowest shard, not
+        the sum) + a k*shards driver merge.
+
+        ``required``/``excluded``: the blocked path's `+term -term`
+        filters. Doc membership is shard-local, so applying them
+        per-shard is exact; a required term absent from a shard's
+        dictionary empties that shard's contribution, which is exactly
+        the single-index semantics restricted to the shard."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from .wand import _local_result_df
 
         words = sorted({w.lower() for w in expand_query(query)})
+        req = [w.lower() for w in (required or [])]
+        exc = [w.lower() for w in (excluded or [])]
         shard_meta = []
         for p in index_paths:
             _b, _d, total, stats, ts = self._blocked_handles(p)
@@ -589,24 +606,31 @@ class SearchEngine:
             for w in words:
                 if w in ts:
                     df_global[w] = df_global.get(w, 0) + ts[w][0]
-        merged: list = []
-        for p, _total, stats, ts in shard_meta:
+
+        def scatter(meta):
+            p, _total, stats, ts = meta
             blocks, dsi, _t2, _s2, _ts2 = self._pruned_blocked_scan(
-                p, words, compute_fallback=True
+                p, sorted(set(words + req + exc)), compute_fallback=True
             )
             if blocks is None:
-                continue
+                return []
             gts = {
                 w: (df_global[w], ts[w][1], ts[w][2]) for w in words if w in ts
             }
             if not gts:
-                continue
+                return []
             part = blocked_maxscore_topk(
                 self.spark, query, blocks.drop("term_bucket"), dsi,
                 n_global, k=k, doc_stats_agg=(avgdl_global, stats[1]),
                 term_stats=gts, url_lookup=self._blocked_url_dict(p),
+                required=req, excluded=exc,
             )
-            merged.extend((r["url"], float(r["score"])) for r in part.collect())
+            return [(r["url"], float(r["score"])) for r in part.collect()]
+
+        merged: list = []
+        with ThreadPoolExecutor(max_workers=min(8, len(shard_meta))) as ex:
+            for rows in ex.map(scatter, shard_meta):
+                merged.extend(rows)
         merged.sort(key=lambda x: (-x[1], x[0]))
         return _local_result_df(self.spark, merged[:k])
 

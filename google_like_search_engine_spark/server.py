@@ -299,14 +299,10 @@ def make_server(
                         return
                     res = engine.search(query, k=k)
                 elif shard_paths:
-                    if required or excluded:
-                        self._json(
-                            400,
-                            {"error": "required/excluded not supported "
-                                      "on the sharded path"},
-                        )
-                        return
-                    res = engine.search_bm25_sharded(shard_paths, query, k=k)
+                    res = engine.search_bm25_sharded(
+                        shard_paths, query, k=k,
+                        required=required, excluded=excluded,
+                    )
                 elif getattr(engine, "_served", None) is not None:
                     res = engine.search_bm25_served(
                         query, k=k, required=required, excluded=excluded

@@ -537,6 +537,17 @@ def test_sharded_search_equals_single_index(spark, tmp_path):
         ]
         assert sharded == single, (query, k)
 
+    # +/- filters: per-shard application == single-index filtered run
+    fs = [(r["url"], round(r["score"], 6))
+          for r in eng.search_bm25_blocked(
+              full_path, "spark shuffle", k=10,
+              required=["join"], excluded=["onlyeven"]).collect()]
+    fsh = [(r["url"], round(r["score"], 6))
+           for r in eng.search_bm25_sharded(
+               [s0_path, s1_path], "spark shuffle", k=10,
+               required=["join"], excluded=["onlyeven"]).collect()]
+    assert fsh == fs and fs  # nonempty
+
     # absent term everywhere -> empty
     assert eng.search_bm25_sharded([s0_path, s1_path], "zzznope").collect() == []
 

@@ -445,7 +445,8 @@ def test_boolean_wildcard_prefix_expansion(engine):
 def test_sharded_search_route(engine, tmp_path_factory):
     """/search on a shard-configured server scatter-gathers with
     global stats and matches the engine's own blocked single-index
-    answer; filters 400 (unsupported on the sharded path)."""
+    answer, including +/- filters (shard-local doc membership keeps
+    them exact)."""
     tmp = tmp_path_factory.mktemp("shardsrv")
     full_p, s0_p, s1_p = (str(tmp / n) for n in ("full", "s0", "s1"))
     engine.save_blocked(full_p)
@@ -478,9 +479,16 @@ def test_sharded_search_route(engine, tmp_path_factory):
         ]
         got = [(r["url"], round(r["score"], 6)) for r in body["results"]]
         assert got == want
-        code2, body2 = _get_allow_error(
-            f"{base}/search?query=search&required=engine"
+        code2, body2 = _get(
+            f"{base}/search?query=search+engine&k=5&required=index"
         )
-        assert code2 == 400 and "sharded" in body2["error"]
+        want2 = [
+            (r["url"], round(r["score"], 6))
+            for r in engine.search_bm25_blocked(
+                full_p, "search engine", k=5, required=["index"]
+            ).collect()
+        ]
+        got2 = [(r["url"], round(r["score"], 6)) for r in body2["results"]]
+        assert code2 == 200 and got2 == want2 and got2
     finally:
         srv.shutdown()
