@@ -2407,19 +2407,21 @@ def source_mix_plan(spark, sf_dir):
         .withColumn("weight_pm", w)
         .where(F.col("weight_pm").isNotNull())
     )
-    target = F.expr(f"weight_pm * {MIX_TOKEN_BUDGET} DIV 1000")
+    # genuinely integer division end to end (Spark DIV == DuckDB //):
+    # double '/'-then-cast would truncate DOWN from a rounded-UP
+    # quotient near 2^52-scale token counts and diverge from the oracle
+    tgt = f"(weight_pm * {MIX_TOKEN_BUDGET} DIV 1000)"
     return agg.select(
         "lang",
         "n_docs",
         "n_tokens",
         "weight_pm",
-        target.alias("target_tokens"),
-        F.least(F.lit(1000).cast("long"), target * 1000 / F.col("n_tokens"))
-        .cast("long")
-        .alias("keep_rate_pm"),
-        F.greatest(
-            F.lit(1).cast("long"),
-            ((target + F.col("n_tokens") - 1) / F.col("n_tokens")).cast("long"),
+        F.expr(tgt).alias("target_tokens"),
+        F.expr(
+            f"least(CAST(1000 AS BIGINT), {tgt} * 1000 DIV n_tokens)"
+        ).alias("keep_rate_pm"),
+        F.expr(
+            f"greatest(CAST(1 AS BIGINT), ({tgt} + n_tokens - 1) DIV n_tokens)"
         ).alias("epochs"),
     )
 

@@ -579,7 +579,20 @@ class SearchEngine:
         filters. Doc membership is shard-local, so applying them
         per-shard is exact; a required term absent from a shard's
         dictionary empties that shard's contribution, which is exactly
-        the single-index semantics restricted to the shard."""
+        the single-index semantics restricted to the shard.
+
+        Overlapping shards (a base + an uncompacted delta rewriting
+        some urls): later listed shards take precedence per url —
+        merge_pages/merge_blocked_shards semantics. A url owned by a
+        later shard MASKS every earlier shard's version (even when the
+        newer version doesn't match the query), using the later
+        shards' driver-side forward indexes; shards beyond
+        URL_DICT_CAP can't mask cheaply, so there precedence degrades
+        to keep-latest-on-collision. Global df/avgdl still count
+        superseded copies until a compaction (merge_blocked_shards)
+        runs; that bounded stats drift is the standard segment-store
+        trade (Lucene's deleted docs inflate stats until merge) and
+        none of this affects disjoint shards."""
         from concurrent.futures import ThreadPoolExecutor
 
         from .wand import _local_result_df
@@ -627,11 +640,23 @@ class SearchEngine:
             )
             return [(r["url"], float(r["score"])) for r in part.collect()]
 
-        merged: list = []
+        # urls owned by later shards mask earlier shards' (stale) rows
+        owned = [self._blocked_url_dict(m[0]) for m in shard_meta]
+        masked = [
+            set().union(
+                *(set(d.values()) for d in owned[i + 1:] if d is not None)
+            )
+            for i in range(len(shard_meta))
+        ]
+        per_url: dict = {}
         with ThreadPoolExecutor(max_workers=min(8, len(shard_meta))) as ex:
-            for rows in ex.map(scatter, shard_meta):
-                merged.extend(rows)
-        merged.sort(key=lambda x: (-x[1], x[0]))
+            # ex.map yields in shard order: a later shard's row for the
+            # same url overwrites an earlier collision
+            for si, rows in enumerate(ex.map(scatter, shard_meta)):
+                for url, score in rows:
+                    if url not in masked[si]:
+                        per_url[url] = score
+        merged = sorted(per_url.items(), key=lambda x: (-x[1], x[0]))
         return _local_result_df(self.spark, merged[:k])
 
     def merge_blocked_shards(self, shard_paths: list, out_path: str) -> None:

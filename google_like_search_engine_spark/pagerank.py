@@ -230,7 +230,23 @@ def hits_fixed_iters(
     return auth.join(hub, "id")
 
 
-def triangle_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def _undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple-graph view: (lo, hi) with lo < hi,
+    self-loops dropped, deduplicated — shared by the triangle and
+    clustering-coefficient operators so one query canonicalizes the
+    edge relation exactly once."""
+    return (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(
+    vertices: DataFrame, edges: DataFrame, und: DataFrame | None = None
+) -> DataFrame:
     """Per-vertex triangle counting over the undirected view of a link
     graph — the classic MapReduce graph benchmark and the basis of
     clustering-coefficient / community features. Edges are
@@ -248,13 +264,8 @@ def triangle_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     edges from low to high degree), which this canonical form
     approximates by id order.
     """
-    und = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
-        )
-        .distinct()
-    )
+    if und is None:
+        und = _undirected_edges(edges)
     ab = und.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = und.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = und.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
@@ -280,20 +291,14 @@ def clustering_coefficients(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     d = degree) — the standard cohesion feature for link-spam and
     community detection. Integer T and d; the single ratio is rounded,
     so engines agree. Returns (id, degree, n_triangles, cc)."""
-    und = (
-        edges.where(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
-        )
-        .distinct()
-    )
+    und = _undirected_edges(edges)
     deg = (
         und.select(F.col("lo").alias("id"))
         .unionAll(und.select(F.col("hi").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    tri = triangle_counts(vertices, edges)
+    tri = triangle_counts(vertices, edges, und=und)
     return (
         tri.join(deg, "id", "left")
         .select(

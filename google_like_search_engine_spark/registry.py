@@ -607,6 +607,43 @@ EXTRA_ORACLE_QUERIES["search_snippets"] = (
 )
 PAGERANK_FIXED_ITERS = 5
 
+# shared synthetic link-graph fixture (i -> (2i+7) mod N, i -> (3i+11)
+# mod N over the documents ids): ONE Python builder + ONE SQL CTE so
+# the five graph entries (pagerank/bfs/hits/triangles/clustering)
+# cannot drift from their oracles independently
+_EDGES_CTE = """ids AS (SELECT doc_id AS i FROM documents),
+n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
+    UNION ALL
+    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
+  ) WHERE src <> dst
+)"""
+
+
+def _synthetic_link_edges(spark, sf_dir):
+    """(docs, edges) of the shared fixture graph — the Spark twin of
+    _EDGES_CTE."""
+    docs = c.load(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").alias("i"))
+    edges = (
+        ids.select(
+            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
+        )
+        .unionAll(
+            ids.select(
+                F.col("i").alias("src"),
+                ((F.col("i") * 3 + 11) % n).alias("dst"),
+            )
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return docs, edges
+
+
 
 def _pagerank_fixed_iters(spark, sf_dir):
     """The ITERATIVE PageRank job itself, oracle-checked: exactly
@@ -626,22 +663,7 @@ def _pagerank_fixed_iters(spark, sf_dir):
     6.7e-16 — eight orders of magnitude of headroom."""
     from .pagerank import pagerank
 
-    docs = c.load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    ids = docs.select(F.col("doc_id").alias("i"))
-    edges = (
-        ids.select(
-            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
-        )
-        .unionAll(
-            ids.select(
-                F.col("i").alias("src"),
-                ((F.col("i") * 3 + 11) % n).alias("dst"),
-            )
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    docs, edges = _synthetic_link_edges(spark, sf_dir)
     ranks = pagerank(
         docs, edges, threshold=-1.0, max_iterations=PAGERANK_FIXED_ITERS
     )
@@ -650,15 +672,7 @@ def _pagerank_fixed_iters(spark, sf_dir):
 
 PAGERANK_FIXED_ITERS_SQL = f"""
 WITH RECURSIVE
-ids AS (SELECT doc_id AS i FROM documents),
-n AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
-    UNION ALL
-    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
-  ) WHERE src <> dst
-),
+{_EDGES_CTE},
 outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
 expand AS (
   SELECT i AS src, i AS tgt, CAST(NULL AS DOUBLE) AS w FROM ids
@@ -696,37 +710,14 @@ def _crawl_frontier_bfs(spark, sf_dir):
     <= 2) and takes min(depth) per vertex == first-visit BFS depth."""
     from .pagerank import bfs_depths
 
-    docs = c.load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    ids = docs.select(F.col("doc_id").alias("i"))
-    edges = (
-        ids.select(
-            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
-        )
-        .unionAll(
-            ids.select(
-                F.col("i").alias("src"),
-                ((F.col("i") * 3 + 11) % n).alias("dst"),
-            )
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    docs, edges = _synthetic_link_edges(spark, sf_dir)
     seeds = docs.where(F.col("doc_id") == 0)
     return bfs_depths(seeds, edges, max_depth=BFS_MAX_DEPTH)
 
 
 CRAWL_FRONTIER_BFS_SQL = f"""
 WITH RECURSIVE
-ids AS (SELECT doc_id AS i FROM documents),
-n AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
-    UNION ALL
-    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
-  ) WHERE src <> dst
-),
+{_EDGES_CTE},
 walk AS (
   SELECT CAST(0 AS BIGINT) AS doc_id, 0 AS depth
   UNION ALL
@@ -755,22 +746,7 @@ def _hits_scores(spark, sf_dir):
     a fixed iteration count, recursion adds nothing over chaining."""
     from .pagerank import hits_fixed_iters
 
-    docs = c.load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    ids = docs.select(F.col("doc_id").alias("i"))
-    edges = (
-        ids.select(
-            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
-        )
-        .unionAll(
-            ids.select(
-                F.col("i").alias("src"),
-                ((F.col("i") * 3 + 11) % n).alias("dst"),
-            )
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    docs, edges = _synthetic_link_edges(spark, sf_dir)
     out = hits_fixed_iters(
         docs.select(F.col("doc_id").alias("id")), edges, iters=HITS_ITERS
     )
@@ -799,15 +775,7 @@ def _hits_sql(iters: int) -> str:
     chain = ",\n".join(ctes)
     return f"""
 WITH
-ids AS (SELECT doc_id AS i FROM documents),
-n AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
-    UNION ALL
-    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
-  ) WHERE src <> dst
-),
+{_EDGES_CTE},
 {chain}
 SELECT a.id AS doc_id, a.auth, h.hub
 FROM a{iters} a JOIN h{iters} h ON h.id = a.id
@@ -826,37 +794,14 @@ def _triangle_counts(spark, sf_dir):
     the oracle enumerates a<b<c triangles with three equi-joins."""
     from .pagerank import triangle_counts
 
-    docs = c.load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    ids = docs.select(F.col("doc_id").alias("i"))
-    edges = (
-        ids.select(
-            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
-        )
-        .unionAll(
-            ids.select(
-                F.col("i").alias("src"),
-                ((F.col("i") * 3 + 11) % n).alias("dst"),
-            )
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    docs, edges = _synthetic_link_edges(spark, sf_dir)
     out = triangle_counts(docs.select(F.col("doc_id").alias("id")), edges)
     return out.select(F.col("id").alias("doc_id"), "n_triangles")
 
 
-TRIANGLE_COUNTS_SQL = """
+TRIANGLE_COUNTS_SQL = f"""
 WITH
-ids AS (SELECT doc_id AS i FROM documents),
-n AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
-    UNION ALL
-    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
-  ) WHERE src <> dst
-),
+{_EDGES_CTE},
 und AS (
   SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
 ),
@@ -886,39 +831,16 @@ def _clustering_coeffs(spark, sf_dir):
     one rounded ratio)."""
     from .pagerank import clustering_coefficients
 
-    docs = c.load(spark, sf_dir, "documents").select("doc_id")
-    n = docs.count()
-    ids = docs.select(F.col("doc_id").alias("i"))
-    edges = (
-        ids.select(
-            F.col("i").alias("src"), ((F.col("i") * 2 + 7) % n).alias("dst")
-        )
-        .unionAll(
-            ids.select(
-                F.col("i").alias("src"),
-                ((F.col("i") * 3 + 11) % n).alias("dst"),
-            )
-        )
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    docs, edges = _synthetic_link_edges(spark, sf_dir)
     out = clustering_coefficients(docs.select(F.col("doc_id").alias("id")), edges)
     return out.select(
         F.col("id").alias("doc_id"), "degree", "n_triangles", "cc"
     )
 
 
-CLUSTERING_COEFFS_SQL = """
+CLUSTERING_COEFFS_SQL = f"""
 WITH
-ids AS (SELECT doc_id AS i FROM documents),
-n AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT DISTINCT src, dst FROM (
-    SELECT i AS src, (2 * i + 7) % n.n AS dst FROM ids, n
-    UNION ALL
-    SELECT i AS src, (3 * i + 11) % n.n AS dst FROM ids, n
-  ) WHERE src <> dst
-),
+{_EDGES_CTE},
 und AS (
   SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
 ),

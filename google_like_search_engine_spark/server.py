@@ -297,6 +297,14 @@ def make_server(
                             {"error": "required/excluded need the bm25 scorer"},
                         )
                         return
+                    if shard_paths:
+                        # shard-configured servers carry no flat index
+                        self._json(
+                            400,
+                            {"error": "tfidf scorer not available on a "
+                                      "sharded server"},
+                        )
+                        return
                     res = engine.search(query, k=k)
                 elif shard_paths:
                     res = engine.search_bm25_sharded(

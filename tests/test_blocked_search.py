@@ -551,6 +551,17 @@ def test_sharded_search_equals_single_index(spark, tmp_path):
     # absent term everywhere -> empty
     assert eng.search_bm25_sharded([s0_path, s1_path], "zzznope").collect() == []
 
+    # OVERLAPPING shards: a delta shard rewriting u00 masks the base
+    # version even for queries only the stale text matches
+    delta_path = str(tmp_path / "delta")
+    build([("0", "u00", "freshterm content")], delta_path)
+    spark_hits = {r["url"] for r in eng.search_bm25_sharded(
+        [s0_path, s1_path, delta_path], "spark", k=50).collect()}
+    assert "u00" not in spark_hits and spark_hits  # stale masked
+    fresh_hits = {r["url"] for r in eng.search_bm25_sharded(
+        [s0_path, s1_path, delta_path], "freshterm", k=10).collect()}
+    assert fresh_hits == {"u00"}
+
 
 def test_merge_blocked_shards_equals_single_and_respects_precedence(
     spark, tmp_path
