@@ -659,6 +659,30 @@ class SearchEngine:
         merged = sorted(per_url.items(), key=lambda x: (-x[1], x[0]))
         return _local_result_df(self.spark, merged[:k])
 
+    def promote_stream_index(self, store_dir: str, out_path: str) -> None:
+        """Promote a Structured-Streaming incremental index store
+        (streaming/index_stream.incremental_index appends, newest per
+        (term, doc_id) wins) to a full blocked SERVING index — the
+        hand-off that closes the continuous-ingestion loop: stream WARC
+        batches in all day, compact-and-promote on a schedule, swap the
+        serving path to the new directory (or commit it as a
+        versioned-table snapshot). The store's postings already carry
+        url/tf/positions/dl from the micro-batch tokenize, so promotion
+        is exactly the batch pipeline minus tokenize: latest-wins
+        compaction, global doc renumbering, re-block, sidecars. Every
+        query path (BM25/phrase/proximity/threshold/sharded) serves the
+        result."""
+        from .streaming.index_stream import compact_index
+
+        postings = compact_index(self.spark, store_dir)
+        promoted = SearchEngine(self.spark)
+        promoted.postings = postings
+        promoted.doc_stats = postings.groupBy("doc_id", "url").agg(
+            F.sum("tf").alias("n_term_entries")
+        )
+        promoted.save_blocked(out_path)
+        self._invalidate_blocked_cache(out_path)
+
     def merge_blocked_shards(self, shard_paths: list, out_path: str) -> None:
         """Segment merge: combine independently built blocked indexes
         into one, WITHOUT re-tokenizing — the Lucene-style background

@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--out", required=True, help="compacted output dir")
     ap.add_argument("--buckets", type=int, default=32,
                     help="term-hash partition count for the output")
+    ap.add_argument("--promote", metavar="DIR",
+                    help="ALSO promote the compacted store to a full "
+                         "blocked serving index at DIR "
+                         "(engine.promote_stream_index)")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -46,6 +50,11 @@ def main():
         "bucket", F.pmod(F.xxhash64("term"), F.lit(args.buckets)).cast("int")
     )
     compacted.write.mode("overwrite").partitionBy("bucket").parquet(args.out)
+    if args.promote:
+        from google_like_search_engine_spark.engine import SearchEngine
+
+        SearchEngine(spark).promote_stream_index(args.in_dir, args.promote)
+        print(f"promoted -> blocked serving index at {args.promote}")
     out = spark.read.parquet(args.out)
     n_post = out.count()
     n_docs = out.select("doc_id").distinct().count()

@@ -74,3 +74,52 @@ def test_recrawl_appends_then_compaction_collapses(spark, tmp_path):
     batch = build_postings(docs_from_pages(pages))
     assert n_comp == batch.count()
     pages.unpersist()
+
+
+def test_promote_stream_index_serves_like_batch_build(spark, tmp_path):
+    """Streaming -> serving hand-off: drain a corpus through the
+    incremental store, promote it to a blocked index, and get the
+    SAME BM25 and phrase answers as a batch-built blocked index over
+    the same pages; a re-crawl drain before promotion updates docs
+    (newest batch wins)."""
+    from google_like_search_engine_spark.engine import SearchEngine
+
+    pages_dir = str(tmp_path / "pages_in")
+    out_dir = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    pages = generate_pages(spark, 60, partitions=2).cache()
+    pages.write.mode("append").parquet(pages_dir)
+    incremental_index(
+        stream_pages(spark, pages_dir), out_dir, ckpt
+    ).awaitTermination()
+    # re-crawl the same pages: appends duplicate batches, promotion
+    # must collapse to one version per doc
+    pages.write.mode("append").parquet(pages_dir)
+    incremental_index(
+        stream_pages(spark, pages_dir), out_dir, ckpt
+    ).awaitTermination()
+
+    eng = SearchEngine(spark)
+    promoted_p = str(tmp_path / "promoted")
+    eng.promote_stream_index(out_dir, promoted_p)
+
+    batch_p = str(tmp_path / "batch")
+    SearchEngine(spark).build(pages, run_pagerank=False).save_blocked(batch_p)
+
+    q = "apple fig grape"
+    want = [(r["url"], round(r["score"], 6)) for r in
+            eng.search_bm25_blocked(batch_p, q, k=8).collect()]
+    got = [(r["url"], round(r["score"], 6)) for r in
+           eng.search_bm25_blocked(promoted_p, q, k=8).collect()]
+    assert got == want and want
+
+    # positions survive: phrase answers match too
+    terms = pages.limit(1).collect()[0]["text"].split()[:2]
+    ph = " ".join(terms)
+    want_ph = sorted((r["url"], r["n_occurrences"]) for r in
+                     eng.search_phrase_blocked(batch_p, ph, k=100).collect())
+    got_ph = sorted((r["url"], r["n_occurrences"]) for r in
+                    eng.search_phrase_blocked(promoted_p, ph, k=100).collect())
+    assert got_ph == want_ph
+    pages.unpersist()
