@@ -2631,3 +2631,71 @@ SELECT doc_id,
        count(*) AS n_grams
 FROM islands GROUP BY doc_id, island
 """
+
+
+def corpus_drift(spark, sf_dir):
+    """Corpus drift report: per-term log-ratio of smoothed relative
+    frequencies between two deterministic halves of the corpus (hash
+    bucket ':drift' < 500 = 'old', rest = 'new') — the
+    distribution-shift monitor a training-data pipeline runs between
+    crawl snapshots (a term whose frequency doubles between snapshots
+    flags topic drift, spam floods, or extraction regressions).
+
+    log_ratio = ln((c_new+1) * (N_old+V) / ((c_old+1) * (N_new+V)))
+    (add-one smoothing; N = side token count, V = union vocabulary).
+    Every factor is an exact integer, so the single rounded ln is the
+    only float — the bigram-LM rounding pattern. Two hash
+    aggregations and a full-outer term join; scales as wordcount."""
+    from .analytics.curation import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        (hash_bucket(F.col("doc_id"), 1000, ":drift") < 500).alias("is_old"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).where(F.col("w") != "")
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("long").alias("c_old"),
+        F.sum(F.when(F.col("is_old"), 0).otherwise(1)).cast("long").alias("c_new"),
+    )
+    totals = toks.agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).cast("long").alias("n_old"),
+        F.sum(F.when(F.col("is_old"), 0).otherwise(1)).cast("long").alias("n_new"),
+        F.countDistinct("w").alias("v"),
+    )
+    return counts.crossJoin(F.broadcast(totals)).select(
+        F.col("w").alias("term"),
+        "c_old",
+        "c_new",
+        F.round(
+            F.log(
+                (F.col("c_new") + 1)
+                * (F.col("n_old") + F.col("v"))
+                / ((F.col("c_old") + 1) * (F.col("n_new") + F.col("v")))
+            ),
+            4,
+        ).alias("log_ratio"),
+    )
+
+
+CORPUS_DRIFT_SQL = f"""
+WITH toks AS (
+  SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':drift'), 1, 15))
+           ::BIGINT % 1000 < 500 AS is_old,
+         w
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''),
+counts AS (
+  SELECT w,
+         CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS c_old,
+         CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS c_new
+  FROM toks GROUP BY w),
+totals AS (
+  SELECT CAST(sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+         CAST(sum(CASE WHEN is_old THEN 0 ELSE 1 END) AS BIGINT) AS n_new,
+         count(DISTINCT w) AS v
+  FROM toks)
+SELECT w AS term, c_old, c_new,
+       round(ln(CAST((c_new + 1) * (n_old + v) AS DOUBLE)
+                / ((c_old + 1) * (n_new + v))), 4) AS log_ratio
+FROM counts, totals
+"""

@@ -949,6 +949,7 @@ EXTRA_ORACLE_QUERIES["lexical_diversity"] = (
     t.lexical_diversity,
     t.LEXICAL_DIVERSITY_SQL,
 )
+EXTRA_ORACLE_QUERIES["corpus_drift"] = (t.corpus_drift, t.CORPUS_DRIFT_SQL)
 EXTRA_ORACLE_QUERIES["substring_dup_spans"] = (
     t.substring_dup_spans,
     t.SUBSTRING_DUP_SPANS_SQL,
