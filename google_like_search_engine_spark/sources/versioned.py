@@ -646,6 +646,54 @@ class VersionedTable:
             "checks": checks,
         }
 
+    def diff(self, v_from: int, v_to: int | None = None,
+             key: str | None = None) -> dict:
+        """Snapshot diff (Iceberg's snapshot-summary / changelog-read
+        analog). Metadata level is ZERO Spark jobs: per-side file and
+        row counts straight from the manifests (each snapshot owns its
+        data dir, so file identity doesn't carry across versions — the
+        meaningful metadata delta is volume, not file names). With
+        ``key``, adds row-level counts (Spark jobs): keys added,
+        removed, and changed (same key, any column different, compared
+        via a row hash) between the two versions."""
+        m = self._read_manifest()
+        if v_to is None:
+            v_to = m["current"]
+        for v in (v_from, v_to):
+            if v not in m["snapshots"]:
+                raise ValueError(f"{self.path}: no snapshot {v}")
+
+        def side(v):
+            files = (m.get("meta", {}).get(str(v)) or {}).get("files") or []
+            return {
+                "files": len(files),
+                "rows": sum(f.get("rows") or 0 for f in files),
+            }
+
+        out = {"from": v_from, "to": v_to,
+               "from_meta": side(v_from), "to_meta": side(v_to)}
+        out["row_delta"] = out["to_meta"]["rows"] - out["from_meta"]["rows"]
+        if key:
+            a, b = self.read(version=v_from), self.read(version=v_to)
+
+            def hashed(df):
+                cols = sorted(df.columns)
+                return df.select(
+                    F.col(key).alias("_k"),
+                    F.md5(F.to_json(F.struct(*cols))).alias("_h"),
+                )
+
+            ha, hb = hashed(a), hashed(b)
+            out["keys_added"] = hb.join(ha, "_k", "left_anti").count()
+            out["keys_removed"] = ha.join(hb, "_k", "left_anti").count()
+            out["keys_changed"] = (
+                ha.alias("x")
+                .join(hb.alias("y"), "_k")
+                .where(F.col("x._h") != F.col("y._h"))
+                .count()
+            )
+        return out
+
     def expire_snapshots(self, keep_last: int = 2) -> list:
         """Drop all but the newest ``keep_last`` snapshots (data dirs
         deleted, manifest rewritten). Returns the expired ids. Readers

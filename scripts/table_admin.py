@@ -50,11 +50,19 @@ def _parse_where(raw: list) -> list:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["history", "compact", "expire", "plan", "verify"])
+    ap.add_argument("cmd", choices=["history", "compact", "expire", "plan",
+                                    "verify", "diff"])
     ap.add_argument("--table", required=True)
     ap.add_argument("--target-rows", type=int, default=1_000_000)
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--where", action="append", default=[])
+    ap.add_argument("--from", dest="v_from", type=int,
+                    help="diff: older snapshot id")
+    ap.add_argument("--to", dest="v_to", type=int, default=None,
+                    help="diff: newer snapshot id (default current)")
+    ap.add_argument("--key", default=None,
+                    help="diff: key column for row-level added/removed/"
+                         "changed counts (metadata-only without it)")
     args = ap.parse_args()
 
     from google_like_search_engine_spark.session import get_spark
@@ -78,6 +86,10 @@ def main():
     elif args.cmd == "plan":
         plan = t.plan_files(_parse_where(args.where))
         print(json.dumps(plan))
+    elif args.cmd == "diff":
+        if args.v_from is None:
+            ap.error("diff needs --from")
+        print(json.dumps(t.diff(args.v_from, args.v_to, key=args.key)))
     elif args.cmd == "verify":
         report = t.verify()
         print(json.dumps(report))

@@ -374,3 +374,43 @@ def test_versioned_verify_clean_and_tampered(spark, tmp_path):
     assert not report2["ok"]
     assert report2["checks"]["missing_files"] == 1
     assert report2["checks"]["orphan_files"] == 1
+
+
+def test_versioned_diff_metadata_and_row_level(spark, tmp_path):
+    """diff(): manifest-only volume delta with zero jobs, and keyed
+    row-level added/removed/changed counts across a merge + delete."""
+    from google_like_search_engine_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    t = VersionedTable(spark, str(tmp_path / "vt"))
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "id long, val string"
+    )
+    v0 = t.write_snapshot(base, stats_cols=None)
+    # merge: update ids 0-2, insert 10-11  -> snapshot 1
+    delta = spark.createDataFrame(
+        [(0, "new0"), (1, "new1"), (2, "new2"), (10, "v10"), (11, "v11")],
+        "id long, val string",
+    )
+    t.merge_into(delta, key="id")
+    # delete ids >= 8 and < 10  -> snapshot 2
+    from pyspark.sql import functions as F
+
+    t.delete_where((F.col("id") >= 8) & (F.col("id") < 10))
+    v2 = t.current_version()
+
+    meta_only = t.diff(v0, v2)
+    assert meta_only["row_delta"] == 0  # +2 inserts, -2 deletes
+    assert "keys_added" not in meta_only  # no jobs ran
+
+    full = t.diff(v0, v2, key="id")
+    assert full["keys_added"] == 2      # 10, 11
+    assert full["keys_removed"] == 2    # 8, 9
+    assert full["keys_changed"] == 3    # 0, 1, 2
+    assert t.diff(v0, v0, key="id")["keys_changed"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.diff(99)
