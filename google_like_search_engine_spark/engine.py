@@ -730,6 +730,78 @@ class SearchEngine:
         merged.save_blocked(out_path)
         self._invalidate_blocked_cache(out_path)
 
+    def search_phrase_sharded(
+        self, index_paths: list, phrase: str, k: int = 10
+    ) -> DataFrame:
+        """Federated phrase search: phrase occurrence counts are purely
+        shard-local (no collection statistics at all), so federation is
+        the trivial scatter-gather — per-shard phrase top-k, merged by
+        (n_occurrences desc, url) which is the single-index tie-break.
+        Row-identical to one index over the union corpus (tested)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .wand import _local_result_df
+
+        def scatter(p):
+            part = self.search_phrase_blocked(p, phrase, k=k)
+            return [(r["url"], int(r["n_occurrences"])) for r in part.collect()]
+
+        rows: list = []
+        with ThreadPoolExecutor(max_workers=min(8, len(index_paths))) as ex:
+            for part in ex.map(scatter, index_paths):
+                rows.extend(part)
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        return _local_result_df(
+            self.spark, rows[:k], value_col="n_occurrences", value_type="long"
+        )
+
+    def search_bm25_threshold_sharded(
+        self, index_paths: list, query: str, threshold: float
+    ) -> DataFrame:
+        """Federated threshold search (all docs scoring >= cutoff):
+        per-shard blocked_maxscore_threshold with GLOBAL df/N/avgdl
+        injected — same statistics recombination as
+        search_bm25_sharded — then a plain union (no k to merge; the
+        result set is exact per shard). The alerting form of federated
+        search."""
+        from .wand import blocked_maxscore_threshold
+
+        words = sorted({w.lower() for w in expand_query(query)})
+        shard_meta = []
+        for p in index_paths:
+            _b, _d, total, stats, ts = self._blocked_handles(p)
+            if total is None or stats is None or ts is None:
+                raise ValueError(
+                    f"sharded search needs meta + term_stats sidecars: {p}"
+                )
+            shard_meta.append((p, total, stats, ts))
+        n_global = sum(m[1] for m in shard_meta)
+        if n_global == 0:
+            return self.spark.createDataFrame([], "url string, score double")
+        avgdl_global = sum(m[1] * m[2][0] for m in shard_meta) / n_global
+        df_global: dict = {}
+        for _p, _t, _s, ts in shard_meta:
+            for w in words:
+                if w in ts:
+                    df_global[w] = df_global.get(w, 0) + ts[w][0]
+        out = None
+        for p, _total, stats, _ts in shard_meta:
+            blocks, dsi, _t2, _s2, _ts2 = self._pruned_blocked_scan(
+                p, words, compute_fallback=True
+            )
+            if blocks is None:
+                continue
+            part = blocked_maxscore_threshold(
+                self.spark, query, blocks.drop("term_bucket"), dsi,
+                n_global, threshold=threshold,
+                doc_stats_agg=(avgdl_global, stats[1]),
+                df_override=df_global,
+            )
+            out = part if out is None else out.unionByName(part)
+        if out is None:
+            return self.spark.createDataFrame([], "url string, score double")
+        return out
+
     def search_phrase_blocked(self, index_path: str, phrase: str, k: int = 10) -> DataFrame:
         """Exact positional phrase query off the blocked index's varint
         positions store (wand.blocked_phrase_topk). Term-bucket

@@ -410,6 +410,7 @@ def blocked_maxscore_threshold(
     use_stems: bool = True,
     doc_stats_agg: tuple | None = None,
     round_to: int = 4,
+    df_override: dict | None = None,
 ) -> DataFrame:
     """ALL documents whose BM25 score rounds to >= ``threshold`` —
     the score-threshold form of the MaxScore/block-max pruned path
@@ -434,6 +435,11 @@ def blocked_maxscore_threshold(
     3. candidates decode from essential terms' live blocks only;
        non-essential terms decode only candidate-intersecting blocks.
     Returns (url, score) with score rounded to ``round_to``.
+
+    ``df_override``: {term: df} replacing the block-metadata dfs —
+    the sharded path injects GLOBAL document frequencies here while
+    max_tf/min_dl stay shard-local (valid: they only bound this
+    shard's scores).
     """
     words = sorted(
         {w.lower() for w in (expand_query(query) if use_stems else query.split())}
@@ -468,8 +474,10 @@ def blocked_maxscore_threshold(
         return math.log((n - df_ + 0.5) / (df_ + 0.5) + 1.0)
 
     dfs = {r["term"]: int(r["df"]) for r in tstats}
+    if df_override is not None:
+        dfs = {t2: int(df_override.get(t2, d)) for t2, d in dfs.items()}
     ub = {
-        r["term"]: idf(r["df"])
+        r["term"]: idf(dfs[r["term"]])
         * (float(r["max_tf"]) * (k1 + 1))
         / (float(r["max_tf"]) + k1 * (1 - b + b * min_dl / avgdl))
         for r in tstats

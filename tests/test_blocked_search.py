@@ -635,3 +635,54 @@ def test_merge_blocked_shards_equals_single_and_respects_precedence(
     stale = {r["url"] for r in
              eng.search_bm25_blocked(upd_p, "spark", k=100).collect()}
     assert fresh == {"u00"} and "u00" not in stale
+
+
+def test_sharded_phrase_and_threshold_equal_single(spark, tmp_path):
+    """Federated phrase counts (shard-local, no stats) and federated
+    threshold search (global stats + df override) both reproduce the
+    single-index answers exactly."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.indexer import build_postings
+
+    rows = [
+        (str(i), f"u{i:02d}",
+         " ".join(
+             (["table", "scan"] * (1 + i % 2))
+             + (["spark"] * (1 + i % 3) if i % 2 else ["flink"])
+             + [f"tok{i % 5}"]
+         ))
+        for i in range(18)
+    ]
+
+    def build(subset, path):
+        docs = spark.createDataFrame(
+            subset, "doc_id string, url string, text string"
+        )
+        e = SearchEngine(spark)
+        e.postings = build_postings(docs)
+        e.doc_stats = e.postings.groupBy("doc_id", "url").agg(
+            F.sum("tf").alias("n_term_entries")
+        )
+        e.save_blocked(path)
+
+    full_p, s0_p, s1_p = (str(tmp_path / n) for n in ("full", "s0", "s1"))
+    build(rows, full_p)
+    build([r for r in rows if int(r[0]) % 2 == 0], s0_p)
+    build([r for r in rows if int(r[0]) % 2 == 1], s1_p)
+    eng = SearchEngine(spark)
+
+    ph_single = [(r["url"], r["n_occurrences"]) for r in
+                 eng.search_phrase_blocked(full_p, "table scan", k=12).collect()]
+    ph_shard = [(r["url"], r["n_occurrences"]) for r in
+                eng.search_phrase_sharded([s0_p, s1_p], "table scan", k=12).collect()]
+    assert ph_shard == ph_single and ph_single
+
+    th_single = sorted(
+        (r["url"], round(r["score"], 6)) for r in
+        eng.search_bm25_threshold_blocked(full_p, "spark scan", 0.5).collect())
+    th_shard = sorted(
+        (r["url"], round(r["score"], 6)) for r in
+        eng.search_bm25_threshold_sharded([s0_p, s1_p], "spark scan", 0.5).collect())
+    assert th_shard == th_single and th_single
