@@ -845,6 +845,30 @@ class SearchEngine:
             k=k, url_lookup=self._blocked_url_dict(index_path),
         )
 
+    def search_proximity_sharded(
+        self, index_paths: list, terms: list, window: int = 5, k: int = 10
+    ) -> DataFrame:
+        """Federated proximity search — like search_phrase_sharded,
+        match counts are shard-local so federation is plain
+        scatter-gather with the single-index (n_matches desc, url)
+        tie-break."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .wand import _local_result_df
+
+        def scatter(p):
+            part = self.search_proximity_blocked(p, terms, window=window, k=k)
+            return [(r["url"], int(r["n_matches"])) for r in part.collect()]
+
+        rows: list = []
+        with ThreadPoolExecutor(max_workers=min(8, len(index_paths))) as ex:
+            for part in ex.map(scatter, index_paths):
+                rows.extend(part)
+        rows.sort(key=lambda x: (-x[1], x[0]))
+        return _local_result_df(
+            self.spark, rows[:k], value_col="n_matches", value_type="long"
+        )
+
     def index_stats(self, index_path: str) -> dict:
         """Observability over a blocked index: size/shape numbers from
         block METADATA only (no posting bytes decoded) — one aggregation

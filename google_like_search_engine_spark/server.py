@@ -384,20 +384,23 @@ def make_server(
                 self._json(200, _metrics_snapshot())
             elif u.path == "/stats" and blocked_path:
                 self._json(200, engine.index_stats(blocked_path))
-            elif u.path == "/phrase" and blocked_path:
+            elif u.path == "/phrase" and (blocked_path or shard_paths):
                 query = q.get("query", "")
                 k = self._k(q)
                 if not query or k is None:
                     self._json(400, {"error": "need ?query= and integer ?k="})
                     return
+                res = (
+                    engine.search_phrase_sharded(shard_paths, query, k=k)
+                    if shard_paths
+                    else engine.search_phrase_blocked(blocked_path, query, k=k)
+                )
                 rows = [
                     {"url": r["url"], "n_occurrences": int(r["n_occurrences"])}
-                    for r in engine.search_phrase_blocked(
-                        blocked_path, query, k=k
-                    ).collect()
+                    for r in res.collect()
                 ]
                 self._json(200, {"query": query, "results": rows})
-            elif u.path == "/threshold" and blocked_path:
+            elif u.path == "/threshold" and (blocked_path or shard_paths):
                 query = q.get("query", "")
                 try:
                     threshold = float(q.get("threshold", ""))
@@ -408,17 +411,24 @@ def make_server(
                         400, {"error": "need ?query= and float ?threshold="}
                     )
                     return
+                res = (
+                    engine.search_bm25_threshold_sharded(
+                        shard_paths, query, threshold=threshold
+                    )
+                    if shard_paths
+                    else engine.search_bm25_threshold_blocked(
+                        blocked_path, query, threshold=threshold
+                    )
+                )
                 rows = [
                     {"url": r["url"], "score": float(r["score"])}
-                    for r in engine.search_bm25_threshold_blocked(
-                        blocked_path, query, threshold=threshold
-                    ).collect()
+                    for r in res.collect()
                 ]
                 self._json(
                     200,
                     {"query": query, "threshold": threshold, "results": rows},
                 )
-            elif u.path == "/proximity" and blocked_path:
+            elif u.path == "/proximity" and (blocked_path or shard_paths):
                 terms = [t for t in q.get("terms", "").split(",") if t]
                 k = self._k(q)
                 try:
@@ -431,11 +441,18 @@ def make_server(
                         {"error": "need ?terms=a,b integer ?k= and ?window>=0"},
                     )
                     return
+                res = (
+                    engine.search_proximity_sharded(
+                        shard_paths, terms, window=window, k=k
+                    )
+                    if shard_paths
+                    else engine.search_proximity_blocked(
+                        blocked_path, terms, window=window, k=k
+                    )
+                )
                 rows = [
                     {"url": r["url"], "n_matches": int(r["n_matches"])}
-                    for r in engine.search_proximity_blocked(
-                        blocked_path, terms, window=window, k=k
-                    ).collect()
+                    for r in res.collect()
                 ]
                 self._json(200, {"terms": terms, "window": window, "results": rows})
             else:

@@ -479,6 +479,14 @@ def test_sharded_search_route(engine, tmp_path_factory):
         ]
         got = [(r["url"], round(r["score"], 6)) for r in body["results"]]
         assert got == want
+        # positional routes open in sharded mode too
+        codep, bodyp = _get(f"{base}/phrase?query=search+engine&k=5")
+        wantp = sorted(
+            (r["url"], int(r["n_occurrences"])) for r in
+            engine.search_phrase_blocked(full_p, "search engine", k=5).collect())
+        assert codep == 200 and sorted(
+            (r["url"], r["n_occurrences"]) for r in bodyp["results"]) == wantp
+
         code2, body2 = _get(
             f"{base}/search?query=search+engine&k=5&required=index"
         )
