@@ -1184,6 +1184,134 @@ class SearchEngine:
             .limit(k)
         )
 
+    def search_boolean_blocked(
+        self, index_path: str, query: str, k: int = 100, ranked: bool = False
+    ) -> DataFrame:
+        """The boolean query language served off the compressed blocked
+        index — same semantics as search_boolean (one compiled filter
+        over per-doc presence flags, pure negation correct, wildcard
+        prefixes, ``ranked=True`` BM25-orders matches by the positive
+        exact terms) with the blocked layout's mechanics: wildcard
+        prefixes expand against the driver-side dictionary sidecar
+        (zero jobs), term buckets prune at the scan when every
+        expansion's bucket is known, and presence flags come from the
+        columnar scoring entries — no flat postings needed. Pinned
+        result-identical to the flat path by test."""
+        from .compression import scoring_entries
+        from .functions.library import (
+            boolean_expr,
+            parse_boolean_query,
+            positive_terms,
+        )
+
+        ast = parse_boolean_query(query)
+        terms = ast.terms()
+        _b, dsi, total, stats, term_stats = self._blocked_handles(index_path)
+        exact = [t for t in terms if not t.endswith("*")]
+        wild = [t for t in terms if t.endswith("*")]
+        if term_stats is not None:
+            expand = {
+                t: sorted(w for w in term_stats if w.startswith(t[:-1]))
+                for t in wild
+            }
+            prune_words = sorted(
+                set(exact) | {w for ws in expand.values() for w in ws}
+            )
+        else:
+            prune_words = []  # pre-dictionary layout: no cheap expansion
+        blocks, dsi, total, stats, term_stats = self._pruned_blocked_scan(
+            index_path, prune_words
+        ) if prune_words else (_b, dsi, total, stats, term_stats)
+        if blocks is None:  # every involved term absent from the corpus
+            blocks = _b.limit(0)
+
+        def fname(t):
+            return "has_" + t.replace("*", "_pre")
+
+        def match(t):
+            if t.endswith("*"):
+                return F.col("term").startswith(t[:-1])
+            return F.col("term") == t
+
+        prefilter = match(terms[0])
+        for t in terms[1:]:
+            prefilter = prefilter | match(t)
+        entries = scoring_entries(blocks.drop("term_bucket").where(prefilter))
+        flags = entries.groupBy("doc_index").agg(
+            *[F.max(match(t).cast("int")).alias(f"_m_{fname(t)}") for t in terms]
+        )
+        full = (
+            dsi.select("doc_index", "url")
+            .join(flags, "doc_index", "left")
+            .select(
+                "doc_index",
+                "url",
+                *[
+                    F.coalesce(F.col(f"_m_{fname(t)}") == 1, F.lit(False)).alias(
+                        fname(t)
+                    )
+                    for t in terms
+                ],
+            )
+        )
+        pred = boolean_expr(ast, lambda t: F.col(fname(t)))
+        matched = full.where(pred).select("doc_index", "url")
+        pos = [
+            t for t in (positive_terms(ast) if ranked else [])
+            if not t.endswith("*")
+        ]
+        if not pos:
+            return matched.select("url").orderBy("url").limit(k)
+        import math
+
+        n = float(total)
+        if term_stats is not None:
+            dfs = {t: term_stats[t][0] for t in pos if t in term_stats}
+        else:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in blocks.where(F.col("term").isin(pos))
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .collect()
+            }
+        avgdl = float(stats[0]) if stats else 1.0
+        k1, b = 1.2, 0.75
+        idf_map = F.create_map(
+            *[
+                x
+                for t in dfs
+                for x in (
+                    F.lit(t),
+                    F.lit(math.log((n - dfs[t] + 0.5) / (dfs[t] + 0.5) + 1.0)),
+                )
+            ]
+        )
+        pe = entries.where(F.col("term").isin(sorted(dfs)))
+        if "dl" not in pe.columns:
+            pe = pe.join(
+                dsi.select("doc_index", F.col("n_term_entries").alias("dl")),
+                "doc_index",
+            )
+        scored = (
+            pe.select(
+                "doc_index",
+                (
+                    idf_map[F.col("term")]
+                    * (F.col("tf") * (k1 + 1))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                ).alias("partial"),
+            )
+            .groupBy("doc_index")
+            .agg(F.sum("partial").alias("score"))
+        )
+        return (
+            scored.join(matched, "doc_index")
+            .select("url", "score")
+            .orderBy(F.desc("score"), F.asc("url"))
+            .limit(k)
+        )
+
     def suggest(self, term: str, k: int = 3, max_dist: int = 2) -> DataFrame:
         """Did-you-mean over the build-time term dictionary: the top-k
         terms within Levenshtein ``max_dist`` of ``term``, ranked by

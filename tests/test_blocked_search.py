@@ -686,3 +686,56 @@ def test_sharded_phrase_and_threshold_equal_single(spark, tmp_path):
         (r["url"], round(r["score"], 6)) for r in
         eng.search_bm25_threshold_sharded([s0_p, s1_p], "spark scan", 0.5).collect())
     assert th_shard == th_single and th_single
+
+
+def test_boolean_blocked_equals_flat(spark, tmp_path):
+    """Boolean queries served off the blocked layout == the flat-path
+    answers: AND/OR/NOT, pure negation, wildcard prefixes, and ranked
+    mode (BM25 over positive exact terms)."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.indexer import build_postings
+
+    rows = [
+        (str(i), f"u{i:02d}",
+         " ".join(
+             ["alpha"] * (1 + i % 2)
+             + (["beta"] if i % 3 == 0 else ["gamma"])
+             + (["sigma", "sigmoid"][i % 2:i % 2 + 1])
+             + [f"tok{i % 4}"]
+         ))
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, url string, text string")
+    eng = SearchEngine(spark)
+    eng.postings = build_postings(docs)
+    eng.doc_stats = eng.postings.groupBy("doc_id", "url").agg(
+        F.sum("tf").alias("n_term_entries")
+    )
+    eng.term_df = eng.postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    eng.total_documents = 20
+    eng._avgdl = float(eng.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0])
+    path = str(tmp_path / "blocked")
+    eng.save_blocked(path)
+
+    for q in [
+        "alpha AND beta",
+        "beta OR gamma AND NOT tok1",
+        "NOT beta",
+        "sig* AND alpha",
+        "alpha AND NOT zzznope",
+    ]:
+        flat = [r["url"] for r in eng.search_boolean(q, k=50).collect()]
+        blk = [r["url"] for r in
+               eng.search_boolean_blocked(path, q, k=50).collect()]
+        assert blk == flat, q
+
+    for q in ["alpha AND beta", "beta OR gamma"]:
+        flat = [(r["url"], round(r["score"], 6)) for r in
+                eng.search_boolean(q, k=50, ranked=True).collect()]
+        blk = [(r["url"], round(r["score"], 6)) for r in
+               eng.search_boolean_blocked(path, q, k=50, ranked=True).collect()]
+        assert blk == flat, q
