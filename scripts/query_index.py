@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BLOCKED_SCORERS = {"bm25-blocked", "bm25-threshold", "phrase", "proximity",
-                   "bm25-sharded"}
+                   "bm25-sharded", "boolean"}
 
 
 def main():
@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--scorer", default="tfidf",
                     choices=["tfidf", "bm25", "bm25-pruned", "bm25-blocked",
                              "bm25-threshold", "phrase", "proximity",
-                             "bm25-sharded"])
+                             "bm25-sharded", "boolean"])
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--threshold", type=float, default=1.0,
                     help="score cutoff for bm25-threshold (all docs >= it)")
@@ -42,6 +42,9 @@ def main():
                     help="comma-separated +terms (bm25-blocked scorer)")
     ap.add_argument("--excluded", default="",
                     help="comma-separated -terms (bm25-blocked scorer)")
+    ap.add_argument("--ranked", action="store_true",
+                    help="boolean scorer: BM25-rank matches by the "
+                         "query's positive terms")
     ap.add_argument("--shards", default="",
                     help="comma-separated blocked index dirs "
                          "(bm25-sharded scorer; overrides --index)")
@@ -62,8 +65,11 @@ def main():
     with eng.low_latency():  # interactive query: serving conf scope
         res, rows = _run_query(eng, args, blocked)
     dt = (time.perf_counter() - t0) * 1000
-    val_col = next(c for c in res.columns if c != "url")
+    val_col = next((c for c in res.columns if c != "url"), None)
     for r in rows:
+        if val_col is None:  # unranked boolean: url-only rows
+            print(r["url"])
+            continue
         v = r[val_col]
         print(f"{v:.6f}  {r['url']}" if isinstance(v, float) else f"{v}  {r['url']}")
     print(f"[{len(rows)} results in {dt:.0f} ms]")
@@ -82,6 +88,10 @@ def _run_query(eng, args, blocked):
             blocked, args.query, k=args.k,
             required=[t for t in args.required.split(",") if t],
             excluded=[t for t in args.excluded.split(",") if t],
+        )
+    elif args.scorer == "boolean":
+        res = eng.search_boolean_blocked(
+            blocked, args.query, k=args.k, ranked=args.ranked
         )
     elif args.scorer == "bm25-sharded":
         paths = [p for p in args.shards.split(",") if p] or [blocked]
