@@ -1197,32 +1197,138 @@ class SearchEngine:
         expansion's bucket is known, and presence flags come from the
         columnar scoring entries — no flat postings needed. Pinned
         result-identical to the flat path by test."""
-        from .compression import scoring_entries
-        from .functions.library import (
-            boolean_expr,
-            parse_boolean_query,
-            positive_terms,
+        if not ranked:
+            return self._boolean_blocked(index_path, query, k)
+        from .functions.library import parse_boolean_query, positive_terms
+
+        ast = parse_boolean_query(query)
+        pos = [t for t in positive_terms(ast) if not t.endswith("*")]
+        blocks, _d, total, stats, term_stats = self._blocked_handles(index_path)
+        if term_stats is not None:
+            dfs = {t: term_stats[t][0] for t in pos if t in term_stats}
+        else:
+            dfs = {
+                r["term"]: int(r["df"])
+                for r in blocks.where(F.col("term").isin(pos))
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df"))
+                .collect()
+            }
+        if not dfs:  # unranked fallback: nothing rankable (pure negation)
+            return self._boolean_blocked(index_path, query, k)
+        return self._boolean_blocked(
+            index_path, query, k,
+            dfs=dfs, n=total, avgdl=float(stats[0]) if stats else 1.0,
         )
+
+    def search_boolean_sharded(
+        self, index_paths: list, query: str, k: int = 100,
+        ranked: bool = False,
+    ) -> DataFrame:
+        """Federated boolean retrieval: presence flags are shard-local,
+        so the match SET is the union of per-shard boolean matches.
+        Unranked merges by url (the single-index order); ranked scores
+        each shard's matches with GLOBAL document frequencies injected
+        (same stats recombination as search_bm25_sharded — per-shard
+        BM25 with shard-local dfs would mis-order the merged list) and
+        merges by (score desc, url). Row-identical to the single-index
+        boolean paths by test."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .functions.library import parse_boolean_query, positive_terms
+        from .wand import _local_result_df
+
+        if not ranked:
+            def scatter_plain(p):
+                part = self.search_boolean_blocked(p, query, k=k)
+                return [r["url"] for r in part.collect()]
+
+            urls: set = set()
+            with ThreadPoolExecutor(max_workers=min(8, len(index_paths))) as ex:
+                for part in ex.map(scatter_plain, index_paths):
+                    urls.update(part)
+            rows = [(u, 1) for u in sorted(urls)[:k]]
+            return _local_result_df(
+                self.spark, rows, value_col="_one", value_type="long"
+            ).select("url")
+
+        # ranked: recombine global dfs for the positive exact terms
+        ast = parse_boolean_query(query)
+        pos = [t for t in positive_terms(ast) if not t.endswith("*")]
+        if not pos:  # nothing rankable: same fallback as the flat path
+            return self.search_boolean_sharded(index_paths, query, k)
+        df_global: dict = {}
+        for p in index_paths:
+            _b, _d, _t, _s, ts = self._blocked_handles(p)
+            if ts is None:
+                raise ValueError(
+                    f"ranked sharded boolean needs the dictionary sidecar: {p}"
+                )
+            for w in pos:
+                if w in ts:
+                    df_global[w] = df_global.get(w, 0) + ts[w][0]
+        n_global = sum(self._blocked_handles(p)[2] for p in index_paths)
+        avgdl_global = (
+            sum(
+                self._blocked_handles(p)[2] * self._blocked_handles(p)[3][0]
+                for p in index_paths
+            )
+            / n_global
+        )
+
+        def scatter_ranked(p):
+            part = self._boolean_blocked(
+                p, query, k,
+                dfs={
+                    t: df_global[t]
+                    for t in df_global
+                },
+                n=n_global, avgdl=avgdl_global,
+            )
+            return [(r["url"], float(r["score"])) for r in part.collect()]
+
+        rows_s: list = []
+        with ThreadPoolExecutor(max_workers=min(8, len(index_paths))) as ex:
+            for part in ex.map(scatter_ranked, index_paths):
+                rows_s.extend(part)
+        rows_s.sort(key=lambda x: (-x[1], x[0]))
+        return _local_result_df(self.spark, rows_s[:k])
+
+    def _boolean_blocked(
+        self, index_path, query, k, dfs=None, n=None, avgdl=None
+    ):
+        """Shared boolean-on-blocked implementation: presence flags +
+        compiled filter; with (dfs, n, avgdl) supplied, BM25-ranks the
+        matches using exactly those collection stats (the single-index
+        path passes its own sidecar stats, the sharded scatter passes
+        the recombined GLOBAL ones); without them, returns the match
+        set ordered by url."""
+        import math
+
+        from .compression import scoring_entries
+        from .functions.library import boolean_expr, parse_boolean_query
 
         ast = parse_boolean_query(query)
         terms = ast.terms()
-        _b, dsi, total, stats, term_stats = self._blocked_handles(index_path)
+        _b, dsi, _total, _stats, term_stats = self._blocked_handles(index_path)
         exact = [t for t in terms if not t.endswith("*")]
         wild = [t for t in terms if t.endswith("*")]
         if term_stats is not None:
-            expand = {
-                t: sorted(w for w in term_stats if w.startswith(t[:-1]))
-                for t in wild
-            }
             prune_words = sorted(
-                set(exact) | {w for ws in expand.values() for w in ws}
+                set(exact)
+                | {
+                    w
+                    for t in wild
+                    for w in term_stats
+                    if w.startswith(t[:-1])
+                }
             )
         else:
-            prune_words = []  # pre-dictionary layout: no cheap expansion
-        blocks, dsi, total, stats, term_stats = self._pruned_blocked_scan(
+            prune_words = []
+        blocks, dsi, _total, _stats, term_stats = self._pruned_blocked_scan(
             index_path, prune_words
-        ) if prune_words else (_b, dsi, total, stats, term_stats)
-        if blocks is None:  # every involved term absent from the corpus
+        ) if prune_words else (_b, dsi, _total, _stats, term_stats)
+        if blocks is None:
             blocks = _b.limit(0)
 
         def fname(t):
@@ -1256,27 +1362,10 @@ class SearchEngine:
         )
         pred = boolean_expr(ast, lambda t: F.col(fname(t)))
         matched = full.where(pred).select("doc_index", "url")
-        pos = [
-            t for t in (positive_terms(ast) if ranked else [])
-            if not t.endswith("*")
-        ]
-        if not pos:
+        if not dfs:  # unranked, or nothing rankable
             return matched.select("url").orderBy("url").limit(k)
-        import math
-
-        n = float(total)
-        if term_stats is not None:
-            dfs = {t: term_stats[t][0] for t in pos if t in term_stats}
-        else:
-            dfs = {
-                r["term"]: int(r["df"])
-                for r in blocks.where(F.col("term").isin(pos))
-                .groupBy("term")
-                .agg(F.sum("n_docs").alias("df"))
-                .collect()
-            }
-        avgdl = float(stats[0]) if stats else 1.0
         k1, b = 1.2, 0.75
+        n = float(n)
         idf_map = F.create_map(
             *[
                 x
@@ -1299,7 +1388,10 @@ class SearchEngine:
                 (
                     idf_map[F.col("term")]
                     * (F.col("tf") * (k1 + 1))
-                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                    / (
+                        F.col("tf")
+                        + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+                    )
                 ).alias("partial"),
             )
             .groupBy("doc_index")

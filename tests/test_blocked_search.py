@@ -739,3 +739,26 @@ def test_boolean_blocked_equals_flat(spark, tmp_path):
         blk = [(r["url"], round(r["score"], 6)) for r in
                eng.search_boolean_blocked(path, q, k=50, ranked=True).collect()]
         assert blk == flat, q
+
+    # federation: two url-hash shards reproduce the single-index
+    # boolean answers (unranked match set and globally-ranked mode)
+    s0_p, s1_p = str(tmp_path / "bs0"), str(tmp_path / "bs1")
+    shard_of = F.pmod(F.xxhash64("url"), F.lit(2))
+    for i, sp in enumerate((s0_p, s1_p)):
+        se = SearchEngine(spark)
+        se.postings = eng.postings.where(shard_of == i)
+        se.doc_stats = eng.doc_stats.where(shard_of == i)
+        se.save_blocked(sp)
+    for q in ["beta OR gamma AND NOT tok1", "NOT beta", "sig* AND alpha"]:
+        single = [r["url"] for r in
+                  eng.search_boolean_blocked(path, q, k=50).collect()]
+        fed = [r["url"] for r in
+               eng.search_boolean_sharded([s0_p, s1_p], q, k=50).collect()]
+        assert fed == single, q
+    for q in ["alpha AND beta", "beta OR gamma"]:
+        single = [(r["url"], round(r["score"], 6)) for r in
+                  eng.search_boolean_blocked(path, q, k=50, ranked=True).collect()]
+        fed = [(r["url"], round(r["score"], 6)) for r in
+               eng.search_boolean_sharded(
+                   [s0_p, s1_p], q, k=50, ranked=True).collect()]
+        assert fed == single, q
