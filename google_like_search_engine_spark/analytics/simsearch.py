@@ -255,3 +255,72 @@ def ivf_topk_ranked(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
     )
+
+
+def sq8_dim_stats(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[list, list]:
+    """Per-dimension (min, max) over the corpus for scalar (SQ8)
+    quantization, collected driver-side — one posexplode + groupBy(pos)
+    agg, so the collect is #dims rows regardless of corpus size (the
+    faiss ScalarQuantizer 'train' step). Returns (mins, maxs) as exact
+    Python doubles."""
+    rows = sorted(
+        emb.select(F.posexplode(vec_col).alias("pos", "x"))
+        .select("pos", F.col("x").cast("double").alias("x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    return [r.mn for r in rows], [r.mx for r in rows]
+
+
+def sq8_reconstruct(
+    emb: DataFrame,
+    mins: list,
+    maxs: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "xq",
+) -> DataFrame:
+    """Quantize every vector to 8-bit codes against the per-dimension
+    [min, max] grid and reconstruct the dequantized double vector —
+    code_i = min(floor((x-mn)*255/(mx-mn)), 255), x~_i = mn +
+    (code+0.5)*(mx-mn)/255, exactly the faiss SQ8 formulation. All
+    JVM-side zip_with/transform (no Python, no shuffle: a pure
+    projection that scales as a map). A constant dimension (mx == mn)
+    quantizes to code 0 and reconstructs to mn. At serving scale the
+    codes column is what you'd persist (4x smaller than float32);
+    reconstruction happens on scan."""
+    mn_arr = F.array(*[F.lit(float(v)) for v in mins])
+    rng_arr = F.array(
+        *[F.lit(float(hi) - float(lo)) for lo, hi in zip(mins, maxs)]
+    )
+    diff = F.zip_with(F.col(vec_col), mn_arr, lambda x, m: x.cast("double") - m)
+    code = F.zip_with(
+        diff,
+        rng_arr,
+        lambda d, r: (
+            F.when(r == F.lit(0.0), F.lit(0.0))
+            .otherwise(F.least(F.floor(d * F.lit(255.0) / r), F.lit(255.0)))
+            .cast("long")
+        ),
+    )
+    part = F.zip_with(code, rng_arr, lambda c, r: (c + F.lit(0.5)) * r / F.lit(255.0))
+    xq = F.zip_with(part, mn_arr, lambda v, m: m + v)
+    return emb.select(F.col(id_col), xq.alias(out))
+
+
+def sq8_reconstruct_py(vec, mins: list, maxs: list) -> list:
+    """The driver-side twin of sq8_reconstruct for a single (query)
+    vector — Python floats are IEEE doubles and the op order matches
+    the column expression, so the reconstruction is bit-identical."""
+    out = []
+    for x, lo, hi in zip(vec, mins, maxs):
+        rng = float(hi) - float(lo)
+        if rng == 0.0:
+            code = 0.0
+        else:
+            code = min((float(x) - float(lo)) * 255.0 / rng // 1, 255.0)
+        out.append(float(lo) + (code + 0.5) * rng / 255.0)
+    return out

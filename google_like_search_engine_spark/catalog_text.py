@@ -2699,3 +2699,364 @@ SELECT w AS term, c_old, c_new,
                 / ((c_old + 1) * (n_new + v))), 4) AS log_ratio
 FROM counts, totals
 """
+
+
+# ---------------------------------------------------------------------------
+# round-5 batch: hybrid retrieval, repetition filter, DSIR weights, SQ8 ANN
+
+
+RRF_K = 60
+RRF_POOL = 50
+
+
+def hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranking and the embedding-cosine ranking (vec_id == doc_id in the
+    testdata) are each cut to a RRF_POOL candidate pool and fused with
+    rrf = sum 1/(RRF_K + rank) — the standard hybrid-search scorer
+    (Cormack et al. 2009), and the shape a modern engine serves when it
+    has both an inverted index and a vector index.
+
+    Determinism: each pool is ranked by (rounded score DESC, id ASC) —
+    a total order, so the rank column and the pool cut are
+    engine-stable without any float-LIMIT hazard; the fused score is a
+    fixed-order sum of two divisions of integer ranks, bit-identical
+    across engines before its round(6). Scale: the rank window runs
+    over the retriever's candidate set (df-bounded for BM25, pool-k for
+    ANN), not the corpus — in the engine path the inputs are already
+    top-k lists from MaxScore / IVF, and the fusion is a k-row join."""
+    from pyspark.sql import Window
+
+    bm = bm25_search(spark, sf_dir)
+    cs = cosine_scores(spark, sf_dir)
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    bmr = (
+        bm.select("doc_id", F.row_number().over(wb).cast("int").alias("bm25_rnk"))
+        .where(F.col("bm25_rnk") <= RRF_POOL)
+    )
+    wc = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    csr = (
+        cs.select(
+            F.col("vec_id").alias("doc_id"),
+            F.row_number().over(wc).cast("int").alias("cos_rnk"),
+        )
+        .where(F.col("cos_rnk") <= RRF_POOL)
+    )
+    fused = bmr.join(csr, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("bm25_rnk")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("cos_rnk")), F.lit(0.0)),
+        6,
+    )
+    return fused.select(
+        "doc_id",
+        F.coalesce(F.col("bm25_rnk"), F.lit(0)).cast("int").alias("bm25_rnk"),
+        F.coalesce(F.col("cos_rnk"), F.lit(0)).cast("int").alias("cos_rnk"),
+        rrf.alias("rrf"),
+    )
+
+
+HYBRID_SEARCH_RRF_SQL = f"""
+WITH bm AS ({BM25_SEARCH_SQL}),
+cs AS ({COSINE_SCORES_SQL}),
+bmr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS bm25_rnk
+  FROM bm QUALIFY bm25_rnk <= {RRF_POOL}),
+csr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS INT) AS cos_rnk
+  FROM cs QUALIFY cos_rnk <= {RRF_POOL})
+SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+       CAST(coalesce(b.bm25_rnk, 0) AS INT) AS bm25_rnk,
+       CAST(coalesce(c.cos_rnk, 0) AS INT) AS cos_rnk,
+       round(coalesce(1.0 / ({RRF_K} + b.bm25_rnk), 0.0)
+             + coalesce(1.0 / ({RRF_K} + c.cos_rnk), 0.0), 6) AS rrf
+FROM bmr b FULL JOIN csr c ON b.doc_id = c.doc_id
+"""
+
+
+# off the round-4 grid (5th decimal ...5): a rounded fraction can never
+# equal the threshold, so the keep cut is engine-stable by construction
+REP_TOP2_MAX = 0.20005
+REP_DUP3_MAX = 0.10005
+
+
+def repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): per
+    document, the character fraction covered by the heaviest duplicated
+    2-gram (count x chars, the 'top n-gram' rule) and the fraction of
+    characters inside duplicated 3-grams (count > 1, overlap not
+    deduped — the standard implementation shortcut), plus the keep
+    decision against off-grid thresholds. Boilerplate / template spam
+    scores high on both and gets dropped before training.
+
+    Everything is integer counting until the two final int/int
+    divisions, so both engines compute bit-identical doubles; n-grams
+    are built JVM-side with transform over the token array (no window,
+    no Python), and the per-(doc, gram) groupBy is the only shuffle —
+    the wordcount shape that scales linearly."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+    )
+    tot = base.select(
+        "doc_id",
+        F.expr(
+            "CAST(coalesce(aggregate(t, 0L, (acc, x) -> acc + length(x)), 0L)"
+            " AS BIGINT)"
+        ).alias("total_chars"),
+    )
+    big = base.where(F.size("t") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")
+        ).alias("g"),
+    )
+    bc = big.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    top2 = bc.groupBy("doc_id").agg(
+        F.max(F.col("c") * (F.length("g") - 1)).alias("ch")
+    )
+    tri = base.where(F.size("t") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 3),"
+                " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+            )
+        ).alias("g"),
+    )
+    tc = tri.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    dup3 = tc.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("c") > 1, F.col("c") * (F.length("g") - 2)).otherwise(0)
+        ).cast("long").alias("ch")
+    )
+    scored = (
+        tot.join(top2, "doc_id", "left")
+        .join(dup3.withColumnRenamed("ch", "ch3"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_chars",
+            F.coalesce(F.col("ch"), F.lit(0)).cast("long").alias("top2_chars"),
+            F.coalesce(F.col("ch3"), F.lit(0)).cast("long").alias("dup3_chars"),
+            F.round(
+                F.coalesce(F.col("ch"), F.lit(0))
+                / F.col("total_chars").cast("double"),
+                4,
+            ).alias("top2_frac"),
+            F.round(
+                F.coalesce(F.col("ch3"), F.lit(0))
+                / F.col("total_chars").cast("double"),
+                4,
+            ).alias("dup3_frac"),
+        )
+    )
+    return scored.withColumn(
+        "keep",
+        (F.col("top2_frac") <= REP_TOP2_MAX) & (F.col("dup3_frac") <= REP_DUP3_MAX),
+    )
+
+
+REPETITION_FILTER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+tot AS (SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(t, x -> len(x))), 0)
+                    AS BIGINT) AS total_chars
+        FROM toks),
+big AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g
+        FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 1)) AS gs(i)
+        WHERE len(t) >= 2),
+bc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+top2 AS (SELECT doc_id, max(c * (len(g) - 1)) AS ch FROM bc GROUP BY doc_id),
+tri AS (SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+        FROM toks CROSS JOIN unnest(generate_series(1, len(t) - 2)) AS gs(i)
+        WHERE len(t) >= 3),
+tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+dup3 AS (SELECT doc_id,
+                CAST(sum(CASE WHEN c > 1 THEN c * (len(g) - 2) ELSE 0 END)
+                     AS BIGINT) AS ch
+         FROM tc GROUP BY doc_id),
+scored AS (
+  SELECT tot.doc_id, total_chars,
+         CAST(coalesce(top2.ch, 0) AS BIGINT) AS top2_chars,
+         CAST(coalesce(dup3.ch, 0) AS BIGINT) AS dup3_chars,
+         round(coalesce(top2.ch, 0) / CAST(total_chars AS DOUBLE), 4) AS top2_frac,
+         round(coalesce(dup3.ch, 0) / CAST(total_chars AS DOUBLE), 4) AS dup3_frac
+  FROM tot LEFT JOIN top2 USING (doc_id) LEFT JOIN dup3 USING (doc_id))
+SELECT *, top2_frac <= {REP_TOP2_MAX} AND dup3_frac <= {REP_DUP3_MAX} AS keep
+FROM scored
+"""
+
+
+DSIR_BUCKETS = 1024
+DSIR_KEEP_MIN = -1.00005  # off the round-4 grid
+
+
+def dsir_importance(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): hashed unigram
+    features (md5 bucket, DSIR_BUCKETS), add-one-smoothed bucket
+    distributions for the target corpus (lang='en') vs the rest, and a
+    per-document importance weight = sum over token occurrences of the
+    bucket's log probability ratio. High-weight docs 'look like' the
+    target distribution and are kept for training.
+
+    Rounding policy: every count is an exact integer; the per-bucket
+    log-ratio is the single transcendental, rounded to the 1e-4 grid
+    BEFORE the per-doc sum (the bigram-LM pattern — grid addends keep
+    the rounded sum order-independent). The keep threshold sits off the
+    grid. Scale: two hash aggregations (bucket stats are DSIR_BUCKETS
+    rows, broadcast back), then one per-doc agg — the wordcount shape;
+    at 100 TB the bucket relation is KBs regardless of corpus size."""
+    from .analytics.curation import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            (F.col("lang") == "en").alias("is_t"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .withColumn("b", hash_bucket(F.col("w"), DSIR_BUCKETS, ":dsir"))
+    )
+    bcounts = toks.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("c_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("c_r"),
+    )
+    totals = toks.agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).cast("long").alias("n_r"),
+    )
+    lr = bcounts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("c_t") + 1) * (F.col("n_r") + DSIR_BUCKETS)).cast("double")
+                / ((F.col("c_r") + 1) * (F.col("n_t") + DSIR_BUCKETS))
+            ),
+            4,
+        ).alias("lr"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr"), 4).alias("weight"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "weight",
+        (F.col("weight") >= DSIR_KEEP_MIN).alias("keep"),
+    )
+
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH toks AS (
+  SELECT d.doc_id, d.lang = 'en' AS is_t, w,
+         ('0x' || substring(md5(w || ':dsir'), 1, 15))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents) d
+  WHERE w <> ''),
+bcounts AS (
+  SELECT b,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+  FROM toks GROUP BY b),
+totals AS (
+  SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS n_r
+  FROM toks),
+lr AS (SELECT b, round(ln(CAST((c_t + 1) * (n_r + {DSIR_BUCKETS}) AS DOUBLE)
+                          / ((c_r + 1) * (n_t + {DSIR_BUCKETS}))), 4) AS lr
+       FROM bcounts, totals),
+per_doc AS (
+  SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(sum(lr.lr), 4) AS weight
+  FROM toks JOIN lr USING (b) GROUP BY toks.doc_id)
+SELECT doc_id, n_tokens, weight, weight >= {DSIR_KEEP_MIN} AS keep
+FROM per_doc
+"""
+
+
+SQ8_QUERY_ID = 100
+SQ8_TOPK_K = 10
+
+
+def sq8_ann_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) vector search — the memory-scale path for
+    similarity search (faiss ScalarQuantizer QT_8bit): every embedding
+    is quantized to per-dimension 8-bit codes against the corpus
+    [min, max] grid (4x smaller than float32 — the difference between
+    an in-RAM and an on-disk index at 100 TB), reconstructed on scan,
+    and ranked by cosine against the reconstructed query. Top-k by
+    (round(cos, 4) DESC, vec_id ASC) — the ivf_ann_topk rank
+    discipline, no float-ordered LIMIT.
+
+    Determinism: quantize/reconstruct is a fixed-order scalar
+    expression (bit-identical across engines); the only cross-engine
+    float freedom is dot-product summation order, and the scripts-side
+    margin scan puts the closest raw cosine 4.3e-9 from a round-4
+    boundary at sf0.01 (~5 orders above summation error). The dim
+    stats collect is #dims rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    from .analytics import simsearch
+
+    emb = load(spark, sf_dir, "embeddings")
+    mins, maxs = simsearch.sq8_dim_stats(emb)
+    rec = simsearch.sq8_reconstruct(emb, mins, maxs)
+    qv = (
+        emb.where(F.col("vec_id") == SQ8_QUERY_ID)
+        .select("embedding")
+        .collect()[0][0]
+    )
+    qxq = simsearch.sq8_reconstruct_py(qv, mins, maxs)
+    q = F.array(*[F.lit(v) for v in qxq])
+    qn = sum(v * v for v in qxq) ** 0.5
+    dot = F.aggregate(
+        F.zip_with(F.col("xq"), q, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = F.sqrt(
+        F.aggregate(F.col("xq"), F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    scored = rec.select(
+        "vec_id", F.round(dot / (nrm * F.lit(qn)), 4).alias("cos_sq8")
+    )
+    w = Window.orderBy(F.desc("cos_sq8"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= SQ8_TOPK_K)
+    )
+
+
+SQ8_ANN_TOPK_SQL = f"""
+WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                  generate_subscripts(embedding, 1) AS pos
+           FROM embeddings),
+dims AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM u GROUP BY pos),
+q AS (SELECT u.vec_id, u.pos,
+             CAST(CASE WHEN d.mx = d.mn THEN 0.0
+                       ELSE least(floor((u.x - d.mn) * 255.0 / (d.mx - d.mn)),
+                                  255.0) END AS BIGINT) AS code,
+             d.mn, d.mx
+      FROM u JOIN dims d USING (pos)),
+r AS (SELECT vec_id, pos, mn + (code + 0.5) * (mx - mn) / 255.0 AS xq FROM q),
+qv AS (SELECT pos, xq AS qx FROM r WHERE vec_id = {SQ8_QUERY_ID}),
+cos AS (SELECT r.vec_id,
+               round(sum(r.xq * qv.qx)
+                     / (sqrt(sum(r.xq * r.xq)) * sqrt(sum(qv.qx * qv.qx))),
+                     4) AS cos_sq8
+        FROM r JOIN qv USING (pos)
+        GROUP BY r.vec_id)
+SELECT vec_id, cos_sq8, CAST(rnk AS INT) AS rnk FROM (
+  SELECT *, row_number() OVER (ORDER BY cos_sq8 DESC, vec_id) AS rnk FROM cos)
+WHERE rnk <= {SQ8_TOPK_K}
+"""

@@ -954,6 +954,19 @@ EXTRA_ORACLE_QUERIES["substring_dup_spans"] = (
     t.substring_dup_spans,
     t.SUBSTRING_DUP_SPANS_SQL,
 )
+EXTRA_ORACLE_QUERIES["hybrid_search_rrf"] = (
+    t.hybrid_search_rrf,
+    t.HYBRID_SEARCH_RRF_SQL,
+)
+EXTRA_ORACLE_QUERIES["repetition_filter"] = (
+    t.repetition_filter,
+    t.REPETITION_FILTER_SQL,
+)
+EXTRA_ORACLE_QUERIES["dsir_importance"] = (
+    t.dsir_importance,
+    t.DSIR_IMPORTANCE_SQL,
+)
+EXTRA_ORACLE_QUERIES["sq8_ann_topk"] = (t.sq8_ann_topk, t.SQ8_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
