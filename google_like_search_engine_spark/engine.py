@@ -544,6 +544,66 @@ class SearchEngine:
             total, threshold=threshold, doc_stats_agg=stats,
         )
 
+    def search_hybrid_rrf(
+        self,
+        index_path: str,
+        query: str,
+        emb: DataFrame,
+        query_vec,
+        k: int = 10,
+        pool: int = 50,
+        rrf_k: int = 60,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """Hybrid lexical+vector retrieval via reciprocal-rank fusion
+        (catalog_text.hybrid_search_rrf is the oracle-checked
+        relational twin): the blocked-index BM25 top-``pool`` and the
+        brute-cosine top-``pool`` over ``emb`` (ids must share the url
+        namespace) are fused driver-side with
+        rrf = sum 1/(rrf_k + rank), ties broken by url.
+
+        Serving shape: two independent retriever jobs (each already
+        top-k-pruned — MaxScore for the lexical side, the ANN index
+        for the vector side at scale), then a 2*pool-row Python merge
+        returning a VALUES LocalTableScan (zero extra jobs). The
+        fusion cost is O(pool), independent of corpus size."""
+        from .analytics.simsearch import cosine_topk
+
+        bm_rows = self.search_bm25_blocked(index_path, query, k=pool).collect()
+        cs_rows = cosine_topk(
+            emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col
+        ).collect()
+        ranks: dict = {}
+        for i, r in enumerate(bm_rows):
+            ranks[str(r["url"])] = [i + 1, 0]
+        for i, r in enumerate(cs_rows):
+            ranks.setdefault(str(r[id_col]), [0, 0])[1] = i + 1
+        fused = []
+        for url, (br, cr) in ranks.items():
+            rrf = (1.0 / (rrf_k + br) if br else 0.0) + (
+                1.0 / (rrf_k + cr) if cr else 0.0
+            )
+            fused.append((url, br, cr, rrf))
+        fused.sort(key=lambda t: (-t[3], t[0]))
+        fused = fused[:k]
+        schema = "url string, bm25_rnk int, cos_rnk int, rrf double"
+        if not fused:
+            return self.spark.createDataFrame([], schema)
+
+        def esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "''")
+
+        vals = ", ".join(
+            f"('{esc(u)}', {br}, {cr}, CAST({rrf!r} AS DOUBLE))"
+            for u, br, cr, rrf in fused
+        )
+        return self.spark.sql(
+            "SELECT url, CAST(bm25_rnk AS INT) AS bm25_rnk,"
+            " CAST(cos_rnk AS INT) AS cos_rnk, rrf"
+            f" FROM (VALUES {vals}) AS t(url, bm25_rnk, cos_rnk, rrf)"
+        )
+
     def search_bm25_sharded(
         self,
         index_paths: list,

@@ -13,6 +13,7 @@ Routes:
   GET /autocomplete?prefix=...&k=10                dictionary prefix scan
   GET /suggest?q=...&k=3                           did-you-mean (levenshtein)
   GET /boolean?query=a+AND+(b+OR+c)+AND+NOT+d&k=…  boolean retrieval
+  GET /hybrid?query=...&qurl=<url>&k=10            RRF lexical+vector fusion
   GET /metrics                                     per-route counters + p50/p95
   GET /health                                      liveness + corpus size
 
@@ -117,6 +118,7 @@ def make_server(
     blocked_path: str | None = None,
     cache_size: int = 0,
     shard_paths: list | None = None,
+    embeddings_path: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -162,8 +164,22 @@ def make_server(
     _KNOWN_ROUTES = {
         "/", "/health", "/metrics", "/search", "/autocomplete",
         "/suggest", "/boolean", "/stats", "/phrase", "/proximity",
-        "/threshold",
+        "/threshold", "/hybrid",
     }
+
+    # lazily-loaded, pinned embeddings relation for /hybrid (the
+    # vector retriever's input); loaded once under a lock — requests
+    # after the first reuse the cached DataFrame
+    emb_lock = threading.Lock()
+    emb_state: dict = {"df": None}
+
+    def _emb_df():
+        with emb_lock:
+            if emb_state["df"] is None:
+                df = engine.spark.read.parquet(embeddings_path).persist()
+                df.count()
+                emb_state["df"] = df
+            return emb_state["df"]
 
     from collections import OrderedDict
 
@@ -171,7 +187,7 @@ def make_server(
     cache: OrderedDict = OrderedDict()
     _CACHEABLE = {
         "/search", "/autocomplete", "/suggest", "/boolean",
-        "/phrase", "/proximity", "/threshold",
+        "/phrase", "/proximity", "/threshold", "/hybrid",
     }
 
     def _cache_get(key):
@@ -455,6 +471,40 @@ def make_server(
                     for r in res.collect()
                 ]
                 self._json(200, {"terms": terms, "window": window, "results": rows})
+            elif u.path == "/hybrid" and blocked_path and embeddings_path:
+                query = q.get("query", "")
+                qurl = q.get("qurl", "")
+                k = self._k(q)
+                if not query or not qurl or k is None:
+                    self._json(
+                        400,
+                        {"error": "need ?query= ?qurl= and integer ?k="},
+                    )
+                    return
+                from pyspark.sql import functions as F
+
+                emb = _emb_df()
+                row = (
+                    emb.where(F.col("url") == qurl)
+                    .select("embedding")
+                    .take(1)
+                )
+                if not row:
+                    self._json(404, {"error": f"no embedding for url {qurl!r}"})
+                    return
+                res = engine.search_hybrid_rrf(
+                    blocked_path, query, emb, row[0][0], k=k, id_col="url"
+                )
+                rows = [
+                    {
+                        "url": r["url"],
+                        "bm25_rnk": int(r["bm25_rnk"]),
+                        "cos_rnk": int(r["cos_rnk"]),
+                        "rrf": float(r["rrf"]),
+                    }
+                    for r in res.collect()
+                ]
+                self._json(200, {"query": query, "qurl": qurl, "results": rows})
             else:
                 self._json(404, {"error": f"no route {u.path}"})
 

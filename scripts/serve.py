@@ -38,6 +38,12 @@ def main():
         "--index may point anywhere when set)",
     )
     ap.add_argument(
+        "--embeddings",
+        help="embeddings parquet (url, embedding) over the corpus "
+        "urls: opens the /hybrid?query=&qurl= RRF more-like-this "
+        "route (needs a blocked index)",
+    )
+    ap.add_argument(
         "--version", type=int, default=None,
         help="serve a SNAPSHOT of a versioned index (save_versioned "
         "layout): --version N time-travels, omitting it serves the "
@@ -94,11 +100,13 @@ def main():
         blocked = None
     srv = make_server(
         eng, args.host, args.port, blocked_path=blocked,
-        cache_size=args.cache,
+        cache_size=args.cache, embeddings_path=args.embeddings,
     )
     routes = "/search?query=  /autocomplete?prefix=  /health"
     if blocked:
         routes += "  /phrase?query=  /proximity?terms="
+    if blocked and args.embeddings:
+        routes += "  /hybrid?query=&qurl="
     print(f"serving on http://{args.host}:{args.port}  ({routes})")
     try:
         srv.serve_forever()
