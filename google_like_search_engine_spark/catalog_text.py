@@ -3060,3 +3060,185 @@ SELECT vec_id, cos_sq8, CAST(rnk AS INT) AS rnk FROM (
   SELECT *, row_number() OVER (ORDER BY cos_sq8 DESC, vec_id) AS rnk FROM cos)
 WHERE rnk <= {SQ8_TOPK_K}
 """
+
+
+BM25F_TITLE_LEN = 8
+BM25F_TITLE_W = 2.0
+BM25F_BODY_W = 1.0
+
+
+def bm25f_search(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
+    """Field-weighted BM25F (Robertson/Zaragoza 2009 simple variant):
+    the document is split into a title field (first BM25F_TITLE_LEN
+    tokens) and a body field, per-field tf is length-normalized against
+    the field's own average length and weighted (title 2x), and the
+    combined pseudo-tf feeds a single saturation — the scoring a real
+    engine uses once documents have structure (title/anchor/body).
+
+    Determinism: field average length is exact-integer sum/count (never
+    avg()), so the only cross-engine float freedom is the two
+    aggregation sums; the per-(doc,term) field sum has at most 2
+    addends (IEEE addition is commutative, so 2-element sums are
+    order-exact) and the per-doc term sum's closest raw score sits
+    3.9e-8 from a round-4 boundary at both test SFs (scripts-side
+    scan) — 8 orders above summation error. Scale: the field explode
+    doubles the token relation; everything else is the bm25_search
+    shape (broadcast terms/df/avg, one shuffle per agg)."""
+    docs = load(spark, sf_dir, "documents")
+    n = float(docs.count())
+    base = docs.select(
+        "doc_id", F.expr("filter(split(text, ' '), x -> x <> '')").alias("t")
+    )
+    title = base.select(
+        "doc_id",
+        F.lit("title").alias("fld"),
+        F.explode(F.slice("t", 1, BM25F_TITLE_LEN)).alias("w"),
+    )
+    body = base.select(
+        "doc_id",
+        F.lit("body").alias("fld"),
+        F.explode(
+            F.expr(
+                f"slice(t, {BM25F_TITLE_LEN + 1},"
+                f" greatest(size(t) - {BM25F_TITLE_LEN}, 0))"
+            )
+        ).alias("w"),
+    )
+    fields = title.unionAll(body)
+    flen = fields.groupBy("doc_id", "fld").agg(
+        F.count(F.lit(1)).cast("long").alias("flen")
+    )
+    favg = flen.groupBy("fld").agg(
+        F.sum("flen").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
+    tf = (
+        fields.join(F.broadcast(terms), "w")
+        .groupBy("doc_id", "fld", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    wtf = (
+        tf.join(flen, ["doc_id", "fld"])
+        .join(F.broadcast(favg), "fld")
+        .groupBy("doc_id", "w")
+        .agg(
+            F.sum(
+                F.when(F.col("fld") == "title", BM25F_TITLE_W)
+                .otherwise(BM25F_BODY_W)
+                * F.col("tf")
+                / (
+                    F.lit(1.0)
+                    - b
+                    + b
+                    * (
+                        F.col("flen").cast("double")
+                        * F.col("c")
+                        / F.col("s")
+                    )
+                )
+            ).alias("tfw")
+        )
+    )
+    return (
+        wtf.join(F.broadcast(dfc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                    )
+                    * F.col("tfw")
+                    / (F.lit(k1) + F.col("tfw"))
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+
+
+BM25F_SEARCH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+fields AS (
+  SELECT doc_id, 'title' AS fld, unnest(t[1:{BM25F_TITLE_LEN}]) AS w FROM toks
+  UNION ALL
+  SELECT doc_id, 'body' AS fld, unnest(t[{BM25F_TITLE_LEN + 1}:]) AS w FROM toks),
+flen AS (SELECT doc_id, fld, CAST(count(*) AS BIGINT) AS flen
+         FROM fields GROUP BY 1, 2),
+favg AS (SELECT fld, CAST(sum(flen) AS BIGINT) AS s,
+                CAST(count(*) AS BIGINT) AS c
+         FROM flen GROUP BY fld),
+tf AS (SELECT doc_id, fld, w, count(*) AS tf FROM fields
+       WHERE w IN ({_terms_lit()})
+       GROUP BY 1, 2, 3),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+dfc AS (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY w),
+wtf AS (
+  SELECT tf.doc_id, tf.w,
+         sum((CASE WHEN tf.fld = 'title' THEN {BM25F_TITLE_W} ELSE {BM25F_BODY_W} END)
+             * tf.tf
+             / (1.0 - 0.75 + 0.75 * (CAST(flen.flen AS DOUBLE) * favg.c / favg.s)))
+           AS tfw
+  FROM tf JOIN flen USING (doc_id, fld) JOIN favg USING (fld)
+  GROUP BY 1, 2)
+SELECT wtf.doc_id,
+       round(sum(ln((n.n - dfc.df + 0.5) / (dfc.df + 0.5) + 1.0)
+                 * wtf.tfw / (1.2 + wtf.tfw)), 4) AS score
+FROM wtf JOIN dfc USING (w), n
+GROUP BY wtf.doc_id
+"""
+
+
+def ltr_features(spark, sf_dir):
+    """Learning-to-rank feature export: for every document matching any
+    query term, the per-(query, doc) feature row an LTR trainer
+    consumes — match counts (integer-exact), document length, and the
+    two classic relevance scores (BM25, TF-IDF) reusing the
+    oracle-green scorers verbatim. This is the offline feature-
+    generation job of a ranking pipeline; at scale it's three hash
+    aggregations over the token relation plus two broadcast-term
+    scorers, all shuffling on doc_id."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        F.sum(F.when(F.col("w").isin(QUERY_TERMS), 1).otherwise(0))
+        .cast("long")
+        .alias("tf_total"),
+        F.size(
+            F.array_intersect(
+                F.collect_set("w"), F.array(*[F.lit(t) for t in QUERY_TERMS])
+            )
+        )
+        .cast("int")
+        .alias("n_matched"),
+    )
+    bm = bm25_search(spark, sf_dir).withColumnRenamed("score", "bm25")
+    ti = tfidf_search(spark, sf_dir).withColumnRenamed("score", "tfidf")
+    return (
+        bm.join(ti, "doc_id")
+        .join(per_doc, "doc_id")
+        .select("doc_id", "n_matched", "tf_total", "dl", "bm25", "tfidf")
+    )
+
+
+LTR_FEATURES_SQL = f"""
+WITH b AS ({BM25_SEARCH_SQL}),
+ti AS ({TFIDF_SEARCH_SQL}),
+{_TOKENS_CTE.strip().rstrip()},
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
+         CAST(sum(CASE WHEN w IN ({_terms_lit()}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS tf_total,
+         CAST(count(DISTINCT CASE WHEN w IN ({_terms_lit()}) THEN w END)
+              AS INT) AS n_matched
+  FROM tokens GROUP BY doc_id)
+SELECT b.doc_id, n_matched, tf_total, dl,
+       b.score AS bm25, ti.score AS tfidf
+FROM b JOIN ti USING (doc_id) JOIN per_doc USING (doc_id)
+"""
