@@ -3242,3 +3242,129 @@ SELECT b.doc_id, n_matched, tf_total, dl,
        b.score AS bm25, ti.score AS tfidf
 FROM b JOIN ti USING (doc_id) JOIN per_doc USING (doc_id)
 """
+
+
+# stored standing queries for percolator-style reverse search: the
+# alerting/routing shape (match each incoming document against every
+# registered query, not each query against the corpus)
+PERCOLATOR_QUERIES = {
+    "alert0": "spark AND NOT window",
+    "alert1": "(join OR shuffle) AND scan",
+    "alert2": "stream AND batch",
+    "alert3": "vector OR quant*",
+    "alert4": "table AND NOT (agg OR merge)",
+}
+
+
+def reverse_search(spark, sf_dir):
+    """Percolator-style reverse search (Elasticsearch percolate, Lucene
+    Monitor): N stored boolean queries are evaluated against every
+    document in ONE pass — a single term-presence aggregation over the
+    union of all stored queries' terms, then every query's compiled
+    predicate as a column of the same select, stacked and filtered to
+    (doc_id, query_id) matches. The alerting/content-routing operator
+    of an ingest pipeline: cost is one token-relation agg regardless of
+    the number of stored queries (columns, not joins, per query).
+
+    Reuses the boolean query language's two compilers (one AST ->
+    Spark Column AND SQL predicate, functions.library +
+    _bool_sql_expr), so the stored-query semantics can't drift from
+    the oracle."""
+    from .functions.library import boolean_expr, parse_boolean_query
+
+    asts = {
+        qid: parse_boolean_query(q)
+        for qid, q in sorted(PERCOLATOR_QUERIES.items())
+    }
+    terms = sorted({t for ast in asts.values() for t in ast.terms()})
+
+    def match(t):
+        if t.endswith("*"):
+            return F.col("w").startswith(t[:-1])
+        return F.col("w") == t
+
+    prefilter = match(terms[0])
+    for t in terms[1:]:
+        prefilter = prefilter | match(t)
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    flags = (
+        toks.where(prefilter)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(match(t).cast("int")).alias(f"_m_{_flag_name(t)}")
+                for t in terms
+            ]
+        )
+    )
+    full = docs.select("doc_id").join(flags, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"_m_{_flag_name(t)}") == 1, F.lit(False)).alias(
+                _flag_name(t)
+            )
+            for t in terms
+        ],
+    )
+    stacked = full.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        boolean_expr(ast, lambda t: F.col(_flag_name(t))).alias(
+                            "m"
+                        ),
+                    )
+                    for qid, ast in asts.items()
+                ]
+            )
+        ).alias("x"),
+    )
+    return (
+        stacked.where(F.col("x.m"))
+        .select("doc_id", F.col("x.query_id").alias("query_id"))
+    )
+
+
+def _reverse_search_sql() -> str:
+    from .functions.library import parse_boolean_query
+
+    asts = {
+        qid: parse_boolean_query(q)
+        for qid, q in sorted(PERCOLATOR_QUERIES.items())
+    }
+    terms = sorted({t for ast in asts.values() for t in ast.terms()})
+
+    def cond(t):
+        if t.endswith("*"):
+            return f"w LIKE '{t[:-1]}%'"
+        return f"w = '{t}'"
+
+    flag_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN {cond(t)} THEN 1 END) = 1, FALSE)"
+        f" AS {_flag_name(t)}"
+        for t in terms
+    )
+    prefilter = " OR ".join(f"t.{cond(t)}" for t in terms)
+    matches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, '{qid}' AS query_id FROM flags"
+        f" WHERE {_bool_sql_expr(ast)}"
+        for qid, ast in asts.items()
+    )
+    return f"""
+WITH {_TOKENS_CTE},
+flags AS (
+  SELECT d.doc_id,
+         {flag_cols}
+  FROM documents d
+  LEFT JOIN tokens t ON t.doc_id = d.doc_id AND ({prefilter})
+  GROUP BY d.doc_id
+)
+{matches}
+"""
+
+
+REVERSE_SEARCH_SQL = _reverse_search_sql()

@@ -567,10 +567,20 @@ class SearchEngine:
         top-k-pruned — MaxScore for the lexical side, the ANN index
         for the vector side at scale), then a 2*pool-row Python merge
         returning a VALUES LocalTableScan (zero extra jobs). The
-        fusion cost is O(pool), independent of corpus size."""
+        fusion cost is O(pool), independent of corpus size.
+
+        ``index_path`` may be a LIST of blocked shard dirs: the lexical
+        retriever then federates through search_bm25_sharded (global
+        stats recombined, concurrent shard fan-out) and fusion is
+        unchanged — hybrid search over a sharded deployment."""
         from .analytics.simsearch import cosine_topk
 
-        bm_rows = self.search_bm25_blocked(index_path, query, k=pool).collect()
+        if isinstance(index_path, (list, tuple)):
+            bm_rows = self.search_bm25_sharded(
+                list(index_path), query, k=pool
+            ).collect()
+        else:
+            bm_rows = self.search_bm25_blocked(index_path, query, k=pool).collect()
         cs_rows = cosine_topk(
             emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col
         ).collect()

@@ -969,6 +969,10 @@ EXTRA_ORACLE_QUERIES["dsir_importance"] = (
 EXTRA_ORACLE_QUERIES["sq8_ann_topk"] = (t.sq8_ann_topk, t.SQ8_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["bm25f_search"] = (t.bm25f_search, t.BM25F_SEARCH_SQL)
 EXTRA_ORACLE_QUERIES["ltr_features"] = (t.ltr_features, t.LTR_FEATURES_SQL)
+EXTRA_ORACLE_QUERIES["reverse_search"] = (
+    t.reverse_search,
+    t.REVERSE_SEARCH_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)

@@ -471,7 +471,9 @@ def make_server(
                     for r in res.collect()
                 ]
                 self._json(200, {"terms": terms, "window": window, "results": rows})
-            elif u.path == "/hybrid" and blocked_path and embeddings_path:
+            elif u.path == "/hybrid" and embeddings_path and (
+                blocked_path or shard_paths
+            ):
                 query = q.get("query", "")
                 qurl = q.get("qurl", "")
                 k = self._k(q)
@@ -493,7 +495,8 @@ def make_server(
                     self._json(404, {"error": f"no embedding for url {qurl!r}"})
                     return
                 res = engine.search_hybrid_rrf(
-                    blocked_path, query, emb, row[0][0], k=k, id_col="url"
+                    shard_paths or blocked_path, query, emb, row[0][0],
+                    k=k, id_col="url",
                 )
                 rows = [
                     {

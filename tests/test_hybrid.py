@@ -154,3 +154,75 @@ def test_hybrid_route(hybrid_setup, tmp_path_factory):
             assert e.code == 404
     finally:
         srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def hybrid_shards(spark, tmp_path_factory):
+    pages = generate_pages(spark, 120).where(F.col("lang") == "en")
+    root = tmp_path_factory.mktemp("hyb_shards")
+    paths = []
+    for i in range(2):
+        sub = pages.where(F.pmod(F.xxhash64("url"), F.lit(2)) == i)
+        se = SearchEngine(spark).build(sub, run_pagerank=False)
+        p = str(root / f"s{i}")
+        se.save_blocked(p)
+        se.unpersist()
+        paths.append(p)
+    return paths
+
+
+def test_engine_fusion_sharded_matches_single(hybrid_setup, hybrid_shards):
+    """Hybrid over a 2-shard lexical deployment == hybrid over the
+    single full index: search_bm25_sharded is row-identical to the
+    single-index run (pinned elsewhere), so the fusion must be too."""
+    eng, blocked, emb = hybrid_setup
+    paths = hybrid_shards
+    qv, _ = _expected_fusion(eng, blocked, emb, k=10)
+    single = [
+        (r["url"], r["bm25_rnk"], r["cos_rnk"], round(r["rrf"], 9))
+        for r in eng.search_hybrid_rrf(
+            blocked, QUERY, emb, qv, k=10, id_col="url"
+        ).collect()
+    ]
+    sharded = [
+        (r["url"], r["bm25_rnk"], r["cos_rnk"], round(r["rrf"], 9))
+        for r in eng.search_hybrid_rrf(
+            paths, QUERY, emb, qv, k=10, id_col="url"
+        ).collect()
+    ]
+    assert sharded == single and single
+
+
+def test_hybrid_route_sharded(hybrid_setup, hybrid_shards, tmp_path_factory):
+    """/hybrid on a shard-configured server federates the lexical side."""
+    eng, blocked, emb = hybrid_setup
+    emb_path = str(tmp_path_factory.mktemp("hyb_emb_sh") / "emb.parquet")
+    emb.write.parquet(emb_path)
+    srv = make_server(
+        eng, "127.0.0.1", 0, shard_paths=hybrid_shards,
+        embeddings_path=emb_path,
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        qurl = eng.search_bm25_blocked(blocked, QUERY, k=1).collect()[0]["url"]
+        q = urllib.parse.urlencode({"query": QUERY, "qurl": qurl, "k": 5})
+        with urllib.request.urlopen(f"{base}/hybrid?{q}", timeout=120) as resp:
+            body = json.loads(resp.read())
+            assert resp.status == 200
+        direct = [
+            (r["url"], r["bm25_rnk"], r["cos_rnk"])
+            for r in eng.search_hybrid_rrf(
+                hybrid_shards, QUERY, emb, _qv(emb, qurl), k=5, id_col="url"
+            ).collect()
+        ]
+        assert [
+            (r["url"], r["bm25_rnk"], r["cos_rnk"]) for r in body["results"]
+        ] == direct
+    finally:
+        srv.shutdown()
+
+
+def _qv(emb, url):
+    return emb.where(F.col("url") == url).select("embedding").take(1)[0][0]
