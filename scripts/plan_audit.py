@@ -224,6 +224,48 @@ def main():
         ("whole-stage codegen", has("[codegen id :")),
     ])
 
+    # repetition filter: n-grams built with array transforms (no
+    # window, no Python); the per-(doc, gram) agg is the only shuffle
+    audit("repetition_filter", t.repetition_filter(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("no global window", not_has("Window")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
+    # DSIR: bucket stats broadcast back to the token relation — the
+    # corpus-size-independent side must never shuffle the fact side
+    audit("dsir_importance", t.dsir_importance(spark, sf_dir), [
+        ("bucket stats broadcast", has("BroadcastHashJoin")),
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
+    # SQ8: quantize/reconstruct/dot are array built-ins over a single
+    # scan — a pure projection until the final top-k
+    audit("sq8_ann_topk", t.sq8_ann_topk(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("embeddings scan pruned",
+         lambda p: "embedding" in p.split("ReadSchema")[1][:200]
+         and "label" not in p.split("ReadSchema")[1][:200]),
+    ])
+
+    # BM25F: per-field stats are tiny broadcasts; the field explode
+    # stays in codegen, no Python anywhere
+    audit("bm25f_search", t.bm25f_search(spark, sf_dir), [
+        ("field stats broadcast", has("BroadcastHashJoin")),
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
+    # reverse search: one term-presence agg however many stored
+    # queries — predicates are columns, never per-query joins or a
+    # cartesian against a query table
+    audit("reverse_search", t.reverse_search(spark, sf_dir), [
+        ("no cartesian query blowup", not_has("CartesianProduct")),
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
     out_path = os.path.join(REPO, "BENCH", "plan_audit_round5.txt")
     failed = 0
     with open(out_path, "w") as f:
