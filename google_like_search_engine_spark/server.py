@@ -119,6 +119,7 @@ def make_server(
     cache_size: int = 0,
     shard_paths: list | None = None,
     embeddings_path: str | None = None,
+    versioned_root: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -135,6 +136,14 @@ def make_server(
     point the server at a sharded deployment with no flat index loaded
     at all.
 
+    With ``versioned_root`` (a save_versioned table), GET
+    /admin/reload[?version=N] hot-swaps the serving index to the
+    newest (or requested) committed snapshot with zero downtime: a
+    fresh engine loads the snapshot on the serving session, the
+    (engine, blocked_path) pair swaps atomically, the response cache
+    clears, and in-flight requests finish on the old snapshot — the
+    publish step of a serving fleet, without a restart.
+
     ``cache_size`` > 0 enables an LRU cache of that many responses on
     the deterministic query routes (an index is immutable between
     server restarts, so a repeated query is a dictionary hit instead
@@ -150,6 +159,11 @@ def make_server(
     # query execution; the clone removes both.)
     engine = engine.serving_clone()
 
+    # the active serving view: ONE reference swapped atomically by
+    # /admin/reload so a request never sees a new engine with an old
+    # blocked path (or vice versa)
+    state = {"active": (engine, blocked_path, None)}
+
     # per-route request counters + latency samples (bounded ring), the
     # minimum observability a serving deployment scrapes; counters are
     # mutated under a lock (handler threads overlap) but requests never
@@ -164,7 +178,7 @@ def make_server(
     _KNOWN_ROUTES = {
         "/", "/health", "/metrics", "/search", "/autocomplete",
         "/suggest", "/boolean", "/stats", "/phrase", "/proximity",
-        "/threshold", "/hybrid",
+        "/threshold", "/hybrid", "/admin/reload",
     }
 
     # lazily-loaded, pinned embeddings relation for /hybrid (the
@@ -185,6 +199,7 @@ def make_server(
 
     cache_lock = threading.Lock()
     cache: OrderedDict = OrderedDict()
+    reload_lock = threading.Lock()
     _CACHEABLE = {
         "/search", "/autocomplete", "/suggest", "/boolean",
         "/phrase", "/proximity", "/threshold", "/hybrid",
@@ -286,7 +301,52 @@ def make_server(
                 _record(u.path, (_time.perf_counter() - t0) * 1000, False)
 
         def _dispatch(self, u, q):
-            if u.path == "/":
+            engine, blocked_path, _snap = state["active"]
+            if u.path == "/admin/reload" and versioned_root:
+                import os as _os
+
+                from .engine import SearchEngine
+                from .sources.versioned import VersionedTable
+
+                try:
+                    version = (
+                        int(q["version"]) if q.get("version") else None
+                    )
+                except ValueError:
+                    self._json(400, {"error": "?version= must be an integer"})
+                    return
+                with reload_lock:
+                    vt = VersionedTable(engine.spark, versioned_root)
+                    snap = vt.snapshot_dir(version)
+                    cur = state["active"]
+                    if snap == cur[2]:
+                        self._json(
+                            200,
+                            {"reloaded": False, "snapshot": snap,
+                             "documents": cur[0].total_documents},
+                        )
+                        return
+                    neweng = SearchEngine(engine.spark)
+                    neweng.load(snap)
+                    neweng.enable_serving()
+                    b = _os.path.join(snap, "blocked")
+                    newb = (
+                        b if _os.path.isdir(b.removeprefix("file://")) else None
+                    )
+                    old = cur[0]
+                    state["active"] = (neweng, newb, snap)
+                    with cache_lock:
+                        cache.clear()
+                    try:  # lazy-safe: Spark recomputes for stragglers
+                        old.unpersist()
+                    except Exception:
+                        pass
+                self._json(
+                    200,
+                    {"reloaded": True, "snapshot": snap,
+                     "documents": neweng.total_documents},
+                )
+            elif u.path == "/":
                 body = ENTRY_PAGE.encode("utf-8")
                 self.send_response(200)
                 self.send_header("Content-Type", "text/html; charset=utf-8")

@@ -73,6 +73,7 @@ def main():
             srv.shutdown()
             spark.stop()
         return
+    versioned_root = None
     import glob as _glob
 
     root = args.index.removeprefix("file://")
@@ -87,7 +88,9 @@ def main():
         vt = VersionedTable(spark, args.index)
         snap = vt.snapshot_dir(args.version)
         print(f"versioned index: serving snapshot dir {snap} "
-              f"(history {vt.history()})")
+              f"(history {vt.history()}); /admin/reload hot-swaps to "
+              f"new snapshots")
+        versioned_root = args.index
         args.index = snap
         eng.load(args.index)
     else:
@@ -101,6 +104,7 @@ def main():
     srv = make_server(
         eng, args.host, args.port, blocked_path=blocked,
         cache_size=args.cache, embeddings_path=args.embeddings,
+        versioned_root=versioned_root,
     )
     routes = "/search?query=  /autocomplete?prefix=  /health"
     if blocked:
