@@ -3368,3 +3368,117 @@ flags AS (
 
 
 REVERSE_SEARCH_SQL = _reverse_search_sql()
+
+
+# integer-rational truth threshold (x100000): shared/union > 0.35005,
+# evaluated as shared*100000 > 35005*union — ALL integer, no float
+MINHASH_EVAL_JT = 35005
+
+
+def minhash_eval(spark, sf_dir):
+    """Dedup-candidate quality evaluation: precision/recall of the
+    banded MinHash-LSH candidate stage (dedup_minhash: 8 hashes, 4
+    bands x 2 rows) against ground-truth near-dup pairs (exact shingle
+    Jaccard over the capped-df shingle relation, threshold 0.35005 as
+    a pure INTEGER rational — shared*100000 > 35005*union — so truth
+    membership involves no float at all). The search_eval_ndcg analog
+    for the dedup subsystem: one confusion-count row (tp/fp/fn) plus
+    int-ratio precision/recall.
+
+    On this corpus recall measures 1.0 (the banding catches every
+    >=0.35 pair — similarity here is bimodal); the fn path is
+    structurally exercised and would report misses on a corpus with
+    borderline pairs. Truth shares the SHINGLE_DF_CAP pair-generation
+    cap (a >=0.35 pair always shares a rare shingle unless it is
+    boilerplate-only, which the cap excludes on both sides
+    identically). Scale: both relations are the capped near-dup shapes
+    already audited; the eval join is pair-keyed."""
+    pred = dedup_minhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_pred")
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("sdf"))
+        .where(F.col("sdf") <= SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    sh_rare = sh.join(rare, "sh", "left_semi")
+    a, b = sh_rare.alias("a"), sh_rare.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    truth = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("shared") * 100000
+            > MINHASH_EVAL_JT * (F.col("sza") + F.col("szb") - F.col("shared"))
+        )
+        .select("doc_a", "doc_b", F.lit(True).alias("in_truth"))
+    )
+    j = pred.join(truth, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_pred", F.lit(False)).alias("p"),
+        F.coalesce("in_truth", F.lit(False)).alias("t"),
+    )
+    agg = j.agg(
+        F.sum(F.when(F.col("p") & F.col("t"), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(F.col("p") & ~F.col("t"), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(F.col("t") & ~F.col("p"), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 4).alias("precision"),
+        F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4).alias("recall"),
+    )
+
+
+MINHASH_EVAL_SQL = f"""
+WITH pred AS ({DEDUP_MINHASH_SQL}),
+{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+rare AS (SELECT sh FROM shingles GROUP BY sh
+         HAVING count(*) <= {SHINGLE_DF_CAP}),
+sh_rare AS (SELECT s.* FROM shingles s JOIN rare USING (sh)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh_rare a JOIN sh_rare b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT s.doc_a, s.doc_b
+  FROM shared s JOIN sizes sa ON sa.doc_id = s.doc_a
+  JOIN sizes sb ON sb.doc_id = s.doc_b
+  WHERE s.shared * 100000 > {MINHASH_EVAL_JT} * (sa.sz + sb.sz - s.shared)),
+j AS (
+  SELECT p.doc_a IS NOT NULL AS p, t.doc_a IS NOT NULL AS t
+  FROM pred p FULL JOIN truth t
+    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b),
+agg AS (
+  SELECT CAST(sum(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fn
+  FROM j)
+SELECT tp, fp, fn,
+       round(CAST(tp AS DOUBLE) / (tp + fp), 4) AS precision,
+       round(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall
+FROM agg
+"""
