@@ -201,6 +201,30 @@ def main():
         )
         lat_blocked.append(dt * 1000)
 
+    # hybrid RRF serving: blocked BM25 pool + brute-cosine pool over the
+    # testdata embeddings (vec_id shares the doc_id/url namespace) +
+    # driver-side fusion — the two-retriever request shape
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).cache()
+    emb.count()
+    qv = emb.where(F.col("vec_id") == 100).select("embedding").collect()[0][0]
+    eng.search_hybrid_rrf(
+        "/tmp/bench_blocked", "warm up", emb, qv, k=10
+    ).collect()
+    lat_hybrid = []
+    for q in qset:
+        dt, _ = timed(
+            lambda q=q: _collect_low_latency(
+                eng,
+                lambda: eng.search_hybrid_rrf(
+                    "/tmp/bench_blocked", q, emb, qv, k=10
+                ),
+            )
+        )
+        lat_hybrid.append(dt * 1000)
+    emb.unpersist()
+
     postings.unpersist()
     doc_stats.unpersist()
     term_df.unpersist()
@@ -230,6 +254,10 @@ def main():
                 )
                 if lat_served else None,
                 "served_concurrent_qps": served_concurrent_qps,
+                "hybrid_p50_ms": round(statistics.median(lat_hybrid), 1),
+                "hybrid_p95_ms": round(
+                    sorted(lat_hybrid)[max(0, int(len(lat_hybrid) * 0.95) - 1)], 1
+                ),
                 "bm25_blocked_p50_ms": round(statistics.median(lat_blocked), 1),
                 "bm25_blocked_p95_ms": round(
                     sorted(lat_blocked)[max(0, int(len(lat_blocked) * 0.95) - 1)], 1
