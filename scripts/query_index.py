@@ -3,7 +3,7 @@
 
   python scripts/query_index.py --index /path/to/index \
       --query "apples figs" [--scorer tfidf|bm25|bm25-pruned|bm25-blocked|
-                             bm25-threshold|phrase|proximity]
+                             bm25-threshold|phrase|proximity|hybrid]
       [-k 10] [--threshold 1.5] [--window 5]
 
 phrase / proximity / bm25-threshold run against the blocked layout
@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BLOCKED_SCORERS = {"bm25-blocked", "bm25-threshold", "phrase", "proximity",
-                   "bm25-sharded", "boolean"}
+                   "bm25-sharded", "boolean", "hybrid"}
 
 
 def main():
@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--scorer", default="tfidf",
                     choices=["tfidf", "bm25", "bm25-pruned", "bm25-blocked",
                              "bm25-threshold", "phrase", "proximity",
-                             "bm25-sharded", "boolean"])
+                             "bm25-sharded", "boolean", "hybrid"])
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--threshold", type=float, default=1.0,
                     help="score cutoff for bm25-threshold (all docs >= it)")
@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--ranked", action="store_true",
                     help="boolean scorer: BM25-rank matches by the "
                          "query's positive terms")
+    ap.add_argument("--embeddings", default="",
+                    help="embeddings parquet (url, embedding) for the "
+                         "hybrid scorer")
+    ap.add_argument("--qurl", default="",
+                    help="hybrid scorer: url whose embedding is the "
+                         "query vector (more-like-this)")
     ap.add_argument("--shards", default="",
                     help="comma-separated blocked index dirs "
                          "(bm25-sharded scorer; overrides --index)")
@@ -93,6 +99,20 @@ def _run_query(eng, args, blocked):
         res = eng.search_boolean_blocked(
             blocked, args.query, k=args.k, ranked=args.ranked
         )
+    elif args.scorer == "hybrid":
+        if not args.embeddings or not args.qurl:
+            raise SystemExit("hybrid scorer needs --embeddings and --qurl")
+        from pyspark.sql import functions as F
+
+        emb = eng.spark.read.parquet(args.embeddings)
+        row = emb.where(F.col("url") == args.qurl).select("embedding").take(1)
+        if not row:
+            raise SystemExit(f"no embedding for url {args.qurl!r}")
+        paths = [p for p in args.shards.split(",") if p]
+        res = eng.search_hybrid_rrf(
+            paths or blocked, args.query, emb, row[0][0],
+            k=args.k, id_col="url",
+        ).select("url", "rrf", "bm25_rnk", "cos_rnk")
     elif args.scorer == "bm25-sharded":
         paths = [p for p in args.shards.split(",") if p] or [blocked]
         res = eng.search_bm25_sharded(paths, args.query, k=args.k)
