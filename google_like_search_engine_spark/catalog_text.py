@@ -3482,3 +3482,79 @@ SELECT tp, fp, fn,
        round(CAST(tp AS DOUBLE) / (tp + fn), 4) AS recall
 FROM agg
 """
+
+
+def events_doc_ctr(spark, sf_dir):
+    """Semi-structured + cross-table analytics: the events table's JSON
+    ``props`` column carries a document key (``$.k``); extract it
+    JVM-side (get_json_object — whole-stage codegen, no Python), join
+    the documents dimension, and report per-document engagement —
+    view/click counts, CTR, purchase revenue. The
+    clickstream-attribution query every content platform runs; JSON
+    extraction is the semi-structured capability the rest of the
+    catalog didn't yet exercise.
+
+    Determinism: counts are exact ints, CTR is an int ratio, and
+    purchase revenue is a sum of 2-decimal inputs rounded to 3 (the
+    standing policy). Scale: documents broadcasts (events >> docs);
+    the one shuffle is the groupBy(doc_id)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "event_type",
+        "value",
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    agg = (
+        ev.join(F.broadcast(docs), ev.k == docs.doc_id)
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_view"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_click"),
+            F.round(
+                F.sum(
+                    F.when(F.col("event_type") == "purchase", F.col("value"))
+                    .otherwise(0.0)
+                ),
+                3,
+            ).alias("purchase_value"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "lang",
+        "n_view",
+        "n_click",
+        "purchase_value",
+        F.when(
+            F.col("n_view") > 0,
+            F.round(F.col("n_click") / F.col("n_view"), 4),
+        )
+        .otherwise(0.0)
+        .alias("ctr"),
+    )
+
+
+EVENTS_DOC_CTR_SQL = """
+WITH e AS (
+  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, event_type, value
+  FROM events),
+agg AS (
+  SELECT d.doc_id, d.lang,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_view,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_click,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0.0 END), 3) AS purchase_value
+  FROM e JOIN documents d ON d.doc_id = e.k
+  GROUP BY 1, 2)
+SELECT doc_id, lang, n_view, n_click, purchase_value,
+       CASE WHEN n_view > 0
+            THEN round(CAST(n_click AS DOUBLE) / n_view, 4)
+            ELSE 0.0 END AS ctr
+FROM agg
+"""
