@@ -3558,3 +3558,72 @@ SELECT doc_id, lang, n_view, n_click, purchase_value,
             ELSE 0.0 END AS ctr
 FROM agg
 """
+
+
+def streaming_reverse_search(spark, sf_dir):
+    """Structured-Streaming twin of reverse_search — percolation in its
+    natural habitat: documents arrive on a stream and every stored
+    standing query is evaluated per row as STATELESS array expressions
+    (exists/array_contains over the token array — no agg, no state
+    store, no watermark), emitting (doc_id, query_id) alert rows to an
+    append sink. Each row is independent, so the operator scales with
+    input partitions at ingest rate; adding a stored query adds a
+    column, not a pass. Shares reverse_search's oracle: the drained
+    sink must equal the batch relation exactly."""
+    import os
+    import shutil
+
+    from .functions.library import boolean_expr, parse_boolean_query
+
+    base = f"/tmp/spark_graft_srs_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs.write.mode("overwrite").parquet(f"{base}/in")
+    src = spark.readStream.schema(docs.schema).parquet(f"{base}/in")
+
+    asts = {
+        qid: parse_boolean_query(q)
+        for qid, q in sorted(PERCOLATOR_QUERIES.items())
+    }
+    terms = sorted({t for ast in asts.values() for t in ast.terms()})
+
+    def flag(t):
+        if t.endswith("*"):
+            return F.expr(f"exists(a, x -> startswith(x, '{t[:-1]}'))")
+        return F.array_contains(F.col("a"), t)
+
+    flagged = src.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("a"),
+    ).select(
+        "doc_id", *[flag(t).alias(_flag_name(t)) for t in terms]
+    )
+    stacked = flagged.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(qid).alias("query_id"),
+                        boolean_expr(ast, lambda t: F.col(_flag_name(t))).alias(
+                            "m"
+                        ),
+                    )
+                    for qid, ast in asts.items()
+                ]
+            )
+        ).alias("x"),
+    )
+    out = stacked.where(F.col("x.m")).select(
+        "doc_id", F.col("x.query_id").alias("query_id")
+    )
+    name = "stream_reverse_search_sink"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

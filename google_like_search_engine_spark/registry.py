@@ -978,6 +978,10 @@ EXTRA_ORACLE_QUERIES["events_doc_ctr"] = (
     t.events_doc_ctr,
     t.EVENTS_DOC_CTR_SQL,
 )
+EXTRA_ORACLE_QUERIES["streaming_reverse_search"] = (
+    t.streaming_reverse_search,
+    t.REVERSE_SEARCH_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
