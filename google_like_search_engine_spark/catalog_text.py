@@ -1819,6 +1819,73 @@ def _bool_sql_expr(node) -> str:
     return "(" + j.join(_bool_sql_expr(a) for a in node.args) + ")"
 
 
+def _term_match_col(t: str):
+    """Presence predicate for one query term over the token column w
+    (exact term, or dictionary prefix for "foo*")."""
+    if t.endswith("*"):
+        return F.col("w").startswith(t[:-1])
+    return F.col("w") == t
+
+
+def _term_flags(docs, toks, terms):
+    """(doc_id, has_<term>...) presence flags for every document — ONE
+    term-prefiltered aggregation however many terms. Docs with no query
+    term still appear (left join, absent => false) so pure-negation
+    predicates evaluate correctly. The single flags builder shared by
+    boolean_search and reverse_search: fix token/wildcard semantics
+    here once, and every boolean consumer (and its SQL twin through
+    _flags_cte_sql) moves together."""
+    prefilter = _term_match_col(terms[0])
+    for t_ in terms[1:]:
+        prefilter = prefilter | _term_match_col(t_)
+    flags = (
+        toks.where(prefilter)
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(_term_match_col(t_).cast("int")).alias(
+                    f"_m_{_flag_name(t_)}"
+                )
+                for t_ in terms
+            ]
+        )
+    )
+    return docs.select("doc_id").join(flags, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(
+                F.col(f"_m_{_flag_name(t_)}") == 1, F.lit(False)
+            ).alias(_flag_name(t_))
+            for t_ in terms
+        ],
+    )
+
+
+def _term_cond_sql(t: str) -> str:
+    if t.endswith("*"):
+        return f"w LIKE '{t[:-1]}%'"
+    return f"w = '{t}'"
+
+
+def _flags_cte_sql(terms) -> str:
+    """The flags relation as a SQL CTE body — _term_flags' oracle twin
+    (one builder per engine, shared by every boolean consumer)."""
+    flag_cols = ",\n         ".join(
+        f"coalesce(max(CASE WHEN {_term_cond_sql(t)} THEN 1 END) = 1, FALSE)"
+        f" AS {_flag_name(t)}"
+        for t in terms
+    )
+    prefilter = " OR ".join(f"t.{_term_cond_sql(t)}" for t in terms)
+    return f"""flags AS (
+  SELECT d.doc_id,
+         {flag_cols}
+  FROM documents d
+  LEFT JOIN tokens t ON t.doc_id = d.doc_id AND ({prefilter})
+  GROUP BY d.doc_id
+)"""
+
+
+
 def boolean_search(spark, sf_dir, query: str = BOOLEAN_QUERY):
     """Boolean retrieval with a real query language — AND/OR/NOT and
     parentheses (functions.library.parse_boolean_query) — evaluated as
@@ -1832,36 +1899,8 @@ def boolean_search(spark, sf_dir, query: str = BOOLEAN_QUERY):
 
     ast = parse_boolean_query(query)
     terms = ast.terms()
-
-    def match(t):  # exact term, or dictionary-prefix for "foo*"
-        if t.endswith("*"):
-            return F.col("w").startswith(t[:-1])
-        return F.col("w") == t
-
-    prefilter = match(terms[0])
-    for t in terms[1:]:
-        prefilter = prefilter | match(t)
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens(docs)
-    flags = (
-        toks.where(prefilter)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.max(match(t).cast("int")).alias(f"_m_{_flag_name(t)}")
-                for t in terms
-            ]
-        )
-    )
-    full = docs.select("doc_id").join(flags, "doc_id", "left").select(
-        "doc_id",
-        *[
-            F.coalesce(F.col(f"_m_{_flag_name(t)}") == 1, F.lit(False)).alias(
-                _flag_name(t)
-            )
-            for t in terms
-        ],
-    )
+    full = _term_flags(docs, _tokens(docs), terms)
     pred = boolean_expr(ast, lambda t: F.col(_flag_name(t)))
     return full.where(pred)
 
@@ -1871,27 +1910,9 @@ def _boolean_search_sql(query: str = BOOLEAN_QUERY) -> str:
 
     ast = parse_boolean_query(query)
     terms = ast.terms()
-
-    def cond(t):
-        if t.endswith("*"):
-            return f"w LIKE '{t[:-1]}%'"
-        return f"w = '{t}'"
-
-    flag_cols = ",\n         ".join(
-        f"coalesce(max(CASE WHEN {cond(t)} THEN 1 END) = 1, FALSE)"
-        f" AS {_flag_name(t)}"
-        for t in terms
-    )
-    prefilter = " OR ".join(f"t.{cond(t)}" for t in terms)
     return f"""
 WITH {_TOKENS_CTE},
-flags AS (
-  SELECT d.doc_id,
-         {flag_cols}
-  FROM documents d
-  LEFT JOIN tokens t ON t.doc_id = d.doc_id AND ({prefilter})
-  GROUP BY d.doc_id
-)
+{_flags_cte_sql(terms)}
 SELECT doc_id, {", ".join(_flag_name(t) for t in terms)}
 FROM flags WHERE {_bool_sql_expr(ast)}
 """
@@ -3204,16 +3225,16 @@ def ltr_features(spark, sf_dir):
     scorers, all shuffling on doc_id."""
     docs = load(spark, sf_dir, "documents")
     toks = _tokens(docs)
-    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
     per_doc = toks.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("dl"),
         F.sum(F.when(F.col("w").isin(QUERY_TERMS), 1).otherwise(0))
         .cast("long")
         .alias("tf_total"),
-        F.size(
-            F.array_intersect(
-                F.collect_set("w"), F.array(*[F.lit(t) for t in QUERY_TERMS])
-            )
+        # countDistinct over a when(): at most len(QUERY_TERMS) distinct
+        # values per doc — never materializes the doc's full vocabulary
+        # (the SQL twin's count(DISTINCT CASE ...) shape)
+        F.countDistinct(
+            F.when(F.col("w").isin(QUERY_TERMS), F.col("w"))
         )
         .cast("int")
         .alias("n_matched"),
@@ -3277,36 +3298,8 @@ def reverse_search(spark, sf_dir):
         for qid, q in sorted(PERCOLATOR_QUERIES.items())
     }
     terms = sorted({t for ast in asts.values() for t in ast.terms()})
-
-    def match(t):
-        if t.endswith("*"):
-            return F.col("w").startswith(t[:-1])
-        return F.col("w") == t
-
-    prefilter = match(terms[0])
-    for t in terms[1:]:
-        prefilter = prefilter | match(t)
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens(docs)
-    flags = (
-        toks.where(prefilter)
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.max(match(t).cast("int")).alias(f"_m_{_flag_name(t)}")
-                for t in terms
-            ]
-        )
-    )
-    full = docs.select("doc_id").join(flags, "doc_id", "left").select(
-        "doc_id",
-        *[
-            F.coalesce(F.col(f"_m_{_flag_name(t)}") == 1, F.lit(False)).alias(
-                _flag_name(t)
-            )
-            for t in terms
-        ],
-    )
+    full = _term_flags(docs, _tokens(docs), terms)
     stacked = full.select(
         "doc_id",
         F.explode(
@@ -3337,18 +3330,6 @@ def _reverse_search_sql() -> str:
         for qid, q in sorted(PERCOLATOR_QUERIES.items())
     }
     terms = sorted({t for ast in asts.values() for t in ast.terms()})
-
-    def cond(t):
-        if t.endswith("*"):
-            return f"w LIKE '{t[:-1]}%'"
-        return f"w = '{t}'"
-
-    flag_cols = ",\n         ".join(
-        f"coalesce(max(CASE WHEN {cond(t)} THEN 1 END) = 1, FALSE)"
-        f" AS {_flag_name(t)}"
-        for t in terms
-    )
-    prefilter = " OR ".join(f"t.{cond(t)}" for t in terms)
     matches = "\nUNION ALL\n".join(
         f"SELECT doc_id, '{qid}' AS query_id FROM flags"
         f" WHERE {_bool_sql_expr(ast)}"
@@ -3356,13 +3337,7 @@ def _reverse_search_sql() -> str:
     )
     return f"""
 WITH {_TOKENS_CTE},
-flags AS (
-  SELECT d.doc_id,
-         {flag_cols}
-  FROM documents d
-  LEFT JOIN tokens t ON t.doc_id = d.doc_id AND ({prefilter})
-  GROUP BY d.doc_id
-)
+{_flags_cte_sql(terms)}
 {matches}
 """
 

@@ -120,6 +120,7 @@ def make_server(
     shard_paths: list | None = None,
     embeddings_path: str | None = None,
     versioned_root: str | None = None,
+    initial_snapshot: str | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -161,8 +162,13 @@ def make_server(
 
     # the active serving view: ONE reference swapped atomically by
     # /admin/reload so a request never sees a new engine with an old
-    # blocked path (or vice versa)
-    state = {"active": (engine, blocked_path, None)}
+    # blocked path (or vice versa). initial_snapshot seeds the snapshot
+    # token so a reload with no new publish is a true no-op; the
+    # operator-supplied blocked dir is remembered as the fallback for
+    # snapshots that don't embed one (snapshot-independent — the
+    # operator owns its freshness).
+    initial_blocked = blocked_path
+    state = {"active": (engine, blocked_path, initial_snapshot)}
 
     # per-route request counters + latency samples (bounded ring), the
     # minimum observability a serving deployment scrapes; counters are
@@ -285,14 +291,19 @@ def make_server(
             t0 = _time.perf_counter()
             self._cache_key = None
             if cache_size > 0 and u.path in _CACHEABLE:
-                hit = _cache_get(self.path)
+                # key includes the active snapshot token: a response
+                # computed against the OLD snapshot that lands in the
+                # cache after a reload's clear() can never match a
+                # post-reload lookup (stale-reinsert race)
+                ckey = (state["active"][2], self.path)
+                hit = _cache_get(ckey)
                 if hit is not None:
                     self._json(200, hit)
                     with metrics_lock:
                         metrics["cache_hits"] += 1
                     _record(u.path, (_time.perf_counter() - t0) * 1000, True)
                     return
-                self._cache_key = self.path
+                self._cache_key = ckey
             try:
                 self._dispatch(u, q)
                 _record(u.path, (_time.perf_counter() - t0) * 1000, True)
@@ -331,7 +342,9 @@ def make_server(
                     neweng.enable_serving()
                     b = _os.path.join(snap, "blocked")
                     newb = (
-                        b if _os.path.isdir(b.removeprefix("file://")) else None
+                        b
+                        if _os.path.isdir(b.removeprefix("file://"))
+                        else initial_blocked
                     )
                     old = cur[0]
                     state["active"] = (neweng, newb, snap)
@@ -344,7 +357,8 @@ def make_server(
                 self._json(
                     200,
                     {"reloaded": True, "snapshot": snap,
-                     "documents": neweng.total_documents},
+                     "documents": neweng.total_documents,
+                     "blocked_path": newb},
                 )
             elif u.path == "/":
                 body = ENTRY_PAGE.encode("utf-8")

@@ -104,7 +104,6 @@ def main() -> None:
         agg = out_df.agg(
             F.count(F.lit(1)).alias("docs"),
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("tokens"),
-            F.coalesce(F.max("start_offset") + F.max("n_tokens"), F.lit(0)),
         ).collect()[0]
         n_chunks = int(-(-int(agg["tokens"]) // args.budget)) if agg["tokens"] else 0
         summary[split] = {
@@ -116,8 +115,15 @@ def main() -> None:
 
     summary["budget"] = args.budget
     summary["wall_sec"] = round(time.time() - t0, 1)
-    with open(f"{args.out}/summary.json", "w") as f:
-        json.dump(summary, f, indent=1)
+    # Hadoop FS stream so the summary lands next to the parquet on any
+    # scheme (local, HDFS, object store), not just file:// — the
+    # docstring's s3:// usage would otherwise crash at the last step
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{args.out}/summary.json")
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(json.dumps(summary, indent=1), "utf-8"))
+    out.close()
     print(json.dumps(summary))
     spark.stop()
 

@@ -105,6 +105,7 @@ def main():
         eng, args.host, args.port, blocked_path=blocked,
         cache_size=args.cache, embeddings_path=args.embeddings,
         versioned_root=versioned_root,
+        initial_snapshot=args.index if versioned_root else None,
     )
     routes = "/search?query=  /autocomplete?prefix=  /health"
     if blocked:

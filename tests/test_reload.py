@@ -37,9 +37,16 @@ def reload_env(spark, tmp_path_factory):
     eng1.unpersist()
     assert v1 > v0 and n1 > n0
 
+    from google_like_search_engine_spark.sources.versioned import (
+        VersionedTable,
+    )
+
+    snap0 = VersionedTable(spark, root).snapshot_dir(v0)
     serving = SearchEngine(spark).load_versioned(root, version=v0)
     serving.enable_serving()
-    srv = make_server(serving, "127.0.0.1", 0, versioned_root=root)
+    srv = make_server(
+        serving, "127.0.0.1", 0, versioned_root=root, initial_snapshot=snap0
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     base = f"http://127.0.0.1:{srv.server_address[1]}"
@@ -52,6 +59,10 @@ def test_hot_swap_to_newest_snapshot(reload_env):
     base, v0, v1, n0, n1 = reload_env
     code, h = _get(f"{base}/health")
     assert code == 200 and h["documents"] == n0
+    # the seeded initial snapshot makes a no-new-publish reload a true
+    # no-op: the active serving engine must NOT be rebuilt/unpersisted
+    code, r0 = _get(f"{base}/admin/reload?version={v0}")
+    assert code == 200 and r0["reloaded"] is False and r0["documents"] == n0
     code, r = _get(f"{base}/admin/reload")
     assert code == 200 and r["reloaded"] and r["documents"] == n1
     code, h = _get(f"{base}/health")
