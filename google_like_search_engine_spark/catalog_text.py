@@ -3602,3 +3602,89 @@ def streaming_reverse_search(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster size histogram: the dedup_keep_list connected
+    components aggregated to (cluster_size, n_clusters) — the shape a
+    data-quality report shows ("how big are my duplicate families?")
+    and the quantity that decides whether the pair stage needs caps
+    (one 10k-doc cluster means quadratic pair blowup upstream).
+    All-integer output over the already-oracle-checked CC relation."""
+    from .analytics.dedup import dedup_keep_list as _dkl, minhash_dedup
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "text"
+    )
+    pairs = minhash_dedup(docs, jaccard_threshold=0.5)
+    comps = (
+        _dkl(docs.select("id"), pairs)
+        .groupBy("component_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+    )
+    return comps.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = f"""
+WITH kl AS (
+{DEDUP_KEEP_LIST_SQL}
+),
+comps AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM kl GROUP BY component_id)
+SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+FROM comps GROUP BY cluster_size
+"""
+
+
+def events_hourly_anomaly(spark, sf_dir):
+    """Hourly traffic anomaly flags: per-hour event counts compared to
+    the corpus's median hourly count (exact rank-selected median — the
+    events_quantiles discipline, no interpolation), flagging hours
+    above 1.5x or below 0.5x the median with pure INTEGER comparisons
+    (cnt*2 > median*3, cnt*2 < median) — the monitoring query an ingest
+    pipeline alerts on, with zero float anywhere. Scale: one hourly
+    agg, one tiny ranked relation (hours, not events), broadcast
+    median."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour"
+        )
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    w = Window.orderBy(F.asc("cnt"), F.asc("hour"))
+    ranked = hourly.withColumn("rn", F.row_number().over(w)).crossJoin(
+        F.broadcast(hourly.agg(F.count(F.lit(1)).alias("n")))
+    )
+    med = ranked.where(
+        F.col("rn") == F.ceil(F.lit(0.5) * F.col("n"))
+    ).select(F.col("cnt").alias("median"))
+    return hourly.crossJoin(F.broadcast(med)).select(
+        "hour",
+        "cnt",
+        "median",
+        (F.col("cnt") * 2 > F.col("median") * 3).alias("is_high"),
+        (F.col("cnt") * 2 < F.col("median")).alias("is_low"),
+    )
+
+
+EVENTS_HOURLY_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1),
+ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt, hour) AS rn,
+         count(*) OVER () AS n
+  FROM hourly),
+med AS (SELECT cnt AS median FROM ranked
+        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+SELECT hour, cnt, median,
+       cnt * 2 > median * 3 AS is_high,
+       cnt * 2 < median AS is_low
+FROM hourly, med
+"""

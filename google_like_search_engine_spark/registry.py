@@ -982,6 +982,14 @@ EXTRA_ORACLE_QUERIES["streaming_reverse_search"] = (
     t.streaming_reverse_search,
     t.REVERSE_SEARCH_SQL,
 )
+EXTRA_ORACLE_QUERIES["dedup_cluster_sizes"] = (
+    t.dedup_cluster_sizes,
+    t.DEDUP_CLUSTER_SIZES_SQL,
+)
+EXTRA_ORACLE_QUERIES["events_hourly_anomaly"] = (
+    t.events_hourly_anomaly,
+    t.EVENTS_HOURLY_ANOMALY_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
