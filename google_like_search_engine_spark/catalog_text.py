@@ -3688,3 +3688,46 @@ SELECT hour, cnt, median,
        cnt * 2 < median AS is_low
 FROM hourly, med
 """
+
+
+EVENTS_PART_DAY = "2024-01-03"
+
+
+def events_partitioned_day(spark, sf_dir):
+    """Hive-style time partitioning + partition pruning, demonstrated
+    end-to-end: the events table is staged partitioned by event_date
+    (what a 100 TB event lake actually looks like on disk), then a
+    single-day query reads back through the partitioned layout — the
+    day filter resolves at PLANNING time to exactly one directory
+    (PartitionFilters in the scan, asserted by plan_audit), so the job
+    reads 1/Nth of the lake no matter how big N gets. The oracle runs
+    the same day filter over the raw table; output is counts + the
+    2-decimal-sum rounding policy."""
+    import os
+
+    base = f"/tmp/spark_graft_evpart_{os.path.basename(sf_dir.rstrip('/'))}"
+    marker = f"{base}/_SUCCESS"
+    if not os.path.exists(marker):
+        ev = load(spark, sf_dir, "events")
+        (
+            ev.withColumn("event_date", F.to_date("ts"))
+            .write.mode("overwrite")
+            .partitionBy("event_date")
+            .parquet(base)
+        )
+    part = spark.read.parquet(base).where(
+        F.col("event_date") == F.lit(EVENTS_PART_DAY).cast("date")
+    )
+    return part.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+    )
+
+
+EVENTS_PARTITIONED_DAY_SQL = f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 3) AS sum_value
+FROM events
+WHERE date_trunc('day', ts) = DATE '{EVENTS_PART_DAY}'
+GROUP BY event_type
+"""

@@ -266,6 +266,17 @@ def main():
         ("whole-stage codegen", has("[codegen id :")),
     ])
 
+    # time-partitioned lake: the day filter must resolve at planning
+    # time to a partition filter (read 1/N directories), not a row
+    # filter over a full scan
+    audit("events_partitioned_day", t.events_partitioned_day(spark, sf_dir), [
+        ("day filter is a PartitionFilter",
+         lambda p: "PartitionFilters: [" in p
+         and "event_date" in p.split("PartitionFilters")[1][:200]),
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
     out_path = os.path.join(REPO, "BENCH", "plan_audit_round5.txt")
     failed = 0
     with open(out_path, "w") as f:
