@@ -3731,3 +3731,106 @@ FROM events
 WHERE date_trunc('day', ts) = DATE '{EVENTS_PART_DAY}'
 GROUP BY event_type
 """
+
+
+def hybrid_eval_ndcg(spark, sf_dir):
+    """nDCG@10 for the HYBRID (RRF-fused) ranking — the eval a search
+    team runs before flipping hybrid on: same relevance model as
+    search_eval_ndcg (rel=2 all-query-terms AND lang='en', rel=1 any
+    term match, rel=0 vector-only candidates), ranked by the fused
+    (rrf desc, doc_id) order. Gains are grid-rounded before summing
+    (the bigram-LM trick); nDCG is the ratio of two grid sums, so the
+    final round(4) is engine-stable. One row out: candidate count,
+    DCG, IDCG, nDCG."""
+    from pyspark.sql import Window
+
+    fused = hybrid_search_rrf(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    stats = toks.groupBy("doc_id").agg(
+        F.countDistinct(
+            F.when(F.col("w").isin(QUERY_TERMS), F.col("w"))
+        ).alias("n_matched")
+    )
+    cand = (
+        fused.join(stats, "doc_id", "left")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "rrf",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            "lang",
+        )
+        .withColumn(
+            "rel",
+            F.when(
+                (F.col("n_matched") == len(QUERY_TERMS))
+                & (F.col("lang") == "en"),
+                F.lit(2),
+            )
+            .when(F.col("n_matched") > 0, F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    )
+    w_rank = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    w_ideal = Window.orderBy(F.desc("rel"), F.asc("doc_id"))
+    ranked = cand.withColumn("pos", F.row_number().over(w_rank)).withColumn(
+        "ipos", F.row_number().over(w_ideal)
+    )
+    gains = ranked.select(
+        F.when(
+            F.col("pos") <= EVAL_K,
+            F.round(F.col("rel") / F.log2(F.col("pos") + 1), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("g"),
+        F.when(
+            F.col("ipos") <= EVAL_K,
+            F.round(F.col("rel") / F.log2(F.col("ipos") + 1), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ig"),
+    )
+    return gains.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.round(F.sum("g"), 4).alias("dcg"),
+        F.round(F.sum("ig"), 4).alias("idcg"),
+        F.round(F.round(F.sum("g"), 4) / F.round(F.sum("ig"), 4), 4).alias(
+            "ndcg"
+        ),
+    )
+
+
+HYBRID_EVAL_NDCG_SQL = f"""
+WITH h AS ({HYBRID_SEARCH_RRF_SQL}),
+{_TOKENS_CTE.strip()},
+stats AS (
+  SELECT doc_id,
+         count(DISTINCT CASE WHEN w IN ({_terms_lit()}) THEN w END)
+           AS n_matched
+  FROM tokens GROUP BY doc_id),
+cand AS (
+  SELECT h.doc_id, h.rrf, coalesce(stats.n_matched, 0) AS n_matched, d.lang,
+         CASE WHEN coalesce(stats.n_matched, 0) = {len(QUERY_TERMS)}
+                   AND d.lang = 'en' THEN 2
+              WHEN coalesce(stats.n_matched, 0) > 0 THEN 1
+              ELSE 0 END AS rel
+  FROM h LEFT JOIN stats USING (doc_id)
+  JOIN documents d USING (doc_id)),
+ranked AS (
+  SELECT rel,
+         row_number() OVER (ORDER BY rrf DESC, doc_id) AS pos,
+         row_number() OVER (ORDER BY rel DESC, doc_id) AS ipos
+  FROM cand),
+gains AS (
+  SELECT CASE WHEN pos <= {EVAL_K}
+              THEN round(rel / log2(pos + 1), 4) ELSE 0.0 END AS g,
+         CASE WHEN ipos <= {EVAL_K}
+              THEN round(rel / log2(ipos + 1), 4) ELSE 0.0 END AS ig
+  FROM ranked)
+SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+       round(sum(g), 4) AS dcg,
+       round(sum(ig), 4) AS idcg,
+       round(round(sum(g), 4) / round(sum(ig), 4), 4) AS ndcg
+FROM gains
+"""
