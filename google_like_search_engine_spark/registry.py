@@ -82,7 +82,11 @@ QUERIES = {
     # alongside wordcount (flatMap) and token_stats (mapPartitions).
     "flame_filter": (c.flame_filter, c.FLAME_FILTER_SQL),
     "flame_foldbykey": (c.flame_foldbykey, c.FLAME_FOLDBYKEY_SQL),
-    "flame_join": (c.flame_join, c.FLAME_JOIN_SQL),
+    # hybrid retrieval (RRF fusion of the BM25 and embedding-cosine
+    # rankings) takes flame_join's gate slot in round 5 — the join
+    # semantics stay parity-tested in EXTRA_ORACLE_QUERIES like
+    # cogroup/count/take before it
+    "hybrid_search_rrf": (t.hybrid_search_rrf, t.HYBRID_SEARCH_RRF_SQL),
     # the 4-gate curation composite (quality AND lang AND dedup AND
     # perplexity) replaces flame_cogroup in the gate tail — cogroup
     # stays parity-tested in EXTRA_ORACLE_QUERIES like count/take
@@ -887,6 +891,7 @@ EXTRA_ORACLE_QUERIES["bigram_lm_scores"] = (
 )
 EXTRA_ORACLE_QUERIES["spell_suggest"] = (t.spell_suggest, t.SPELL_SUGGEST_SQL)
 EXTRA_ORACLE_QUERIES["flame_cogroup"] = (c.flame_cogroup, c.FLAME_COGROUP_SQL)
+EXTRA_ORACLE_QUERIES["flame_join"] = (c.flame_join, c.FLAME_JOIN_SQL)
 EXTRA_ORACLE_QUERIES["search_eval_ndcg"] = (
     t.search_eval_ndcg,
     t.SEARCH_EVAL_NDCG_SQL,
@@ -953,10 +958,6 @@ EXTRA_ORACLE_QUERIES["corpus_drift"] = (t.corpus_drift, t.CORPUS_DRIFT_SQL)
 EXTRA_ORACLE_QUERIES["substring_dup_spans"] = (
     t.substring_dup_spans,
     t.SUBSTRING_DUP_SPANS_SQL,
-)
-EXTRA_ORACLE_QUERIES["hybrid_search_rrf"] = (
-    t.hybrid_search_rrf,
-    t.HYBRID_SEARCH_RRF_SQL,
 )
 EXTRA_ORACLE_QUERIES["repetition_filter"] = (
     t.repetition_filter,
@@ -1074,7 +1075,7 @@ QUERY_ORDER = [
     # the rest are parity-tested in EXTRA_ORACLE_QUERIES)
     "flame_filter",
     "flame_foldbykey",
-    "flame_join",
+    "hybrid_search_rrf",
     "curate_corpus",
 ]
 assert len(QUERY_ORDER) == 50, f"driver gate must hold exactly 50, got {len(QUERY_ORDER)}"
