@@ -317,3 +317,49 @@ def clustering_coefficients(vertices: DataFrame, edges: DataFrame) -> DataFrame:
             .alias("cc"),
         )
     )
+
+
+def label_propagation(
+    vertices: DataFrame, edges: DataFrame, iters: int = 3
+) -> DataFrame:
+    """Synchronous label-propagation community detection over the
+    undirected simple-graph view: every vertex starts with its own id
+    as label; each iteration every vertex adopts the most frequent
+    label among its neighbors (ties -> smallest label; isolated
+    vertices keep their label). Fixed ``iters`` synchronous rounds and
+    the integer tie-break make the result exact across engines — no
+    convergence test, no randomness (the classic async LPA is
+    order-dependent; the synchronous fixed-iteration form is the
+    reproducible variant a data pipeline wants). Each round is one
+    neighbor join + one (vertex, label) count + one top-1 window over
+    per-vertex label counts — partitioned by vertex, never global.
+    Cost: iters passes over the edge relation; at 10^12 edges this is
+    the GraphFrames LPA shape (join + agg per superstep)."""
+    from pyspark.sql import Window
+
+    und = _undirected_edges(edges)
+    adj = und.unionAll(
+        und.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"))
+    )  # both directions: (lo -> hi) neighbor pairs
+    labels = vertices.select(F.col("id"), F.col("id").alias("lbl"))
+    w = Window.partitionBy("id").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(iters):
+        neigh = adj.join(
+            labels.withColumnRenamed("id", "hi"), "hi"
+        ).select(F.col("lo").alias("id"), "lbl")
+        counts = neigh.groupBy("id", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        top = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "lbl")
+        )
+        labels = (
+            vertices.select("id")
+            .join(top, "id", "left")
+            .join(
+                labels.withColumnRenamed("lbl", "prev"), "id"
+            )
+            .select("id", F.coalesce("lbl", "prev").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("id", F.col("lbl").alias("community"))

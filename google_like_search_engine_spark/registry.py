@@ -882,6 +882,67 @@ EXTRA_ORACLE_QUERIES["clustering_coeffs"] = (
     _clustering_coeffs,
     CLUSTERING_COEFFS_SQL,
 )
+
+
+LPA_ITERS = 3
+
+
+def _label_propagation(spark, sf_dir):
+    """Synchronous fixed-iteration label-propagation communities over
+    the shared synthetic link graph (pagerank.label_propagation) —
+    integer labels, smallest-label tie-break, so the oracle's unrolled
+    CTE chain must agree exactly (the HITS pattern: with a fixed
+    iteration count, recursion adds nothing over chaining)."""
+    from .pagerank import label_propagation
+
+    docs, edges = _synthetic_link_edges(spark, sf_dir)
+    out = label_propagation(
+        docs.select(F.col("doc_id").alias("id")), edges, iters=LPA_ITERS
+    )
+    return out.select(F.col("id").alias("doc_id"), "community")
+
+
+def _lpa_sql(iters: int) -> str:
+    ctes = [
+        """und AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi FROM edges
+)""",
+        """adj AS (
+  SELECT lo, hi FROM und UNION ALL SELECT hi, lo FROM und
+)""",
+        "l0 AS (SELECT i AS id, i AS lbl FROM ids)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"c{k} AS (SELECT a.lo AS id, l.lbl, count(*) AS c"
+            f" FROM adj a JOIN l{k - 1} l ON l.id = a.hi GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"t{k} AS (SELECT id, lbl FROM c{k}"
+            f" QUALIFY row_number() OVER (PARTITION BY id"
+            f" ORDER BY c DESC, lbl) = 1)"
+        )
+        ctes.append(
+            f"l{k} AS (SELECT i AS id, coalesce(t.lbl, p.lbl) AS lbl"
+            f" FROM ids LEFT JOIN t{k} t ON t.id = i"
+            f" JOIN l{k - 1} p ON p.id = i)"
+        )
+    chain = ",\n".join(ctes)
+    return f"""
+WITH
+{_EDGES_CTE},
+{chain}
+SELECT id AS doc_id, lbl AS community FROM l{iters}
+"""
+
+
+LABEL_PROPAGATION_SQL = _lpa_sql(LPA_ITERS)
+
+
+EXTRA_ORACLE_QUERIES["label_propagation"] = (
+    _label_propagation,
+    LABEL_PROPAGATION_SQL,
+)
 EXTRA_ORACLE_QUERIES["ivf_ann_topk"] = (t.ivf_ann_topk, t.IVF_ANN_TOPK_SQL)
 EXTRA_ORACLE_QUERIES["dataset_split"] = (t.dataset_split, t.DATASET_SPLIT_SQL)
 EXTRA_ORACLE_QUERIES["ngram_jaccard"] = (t.ngram_jaccard, t.NGRAM_JACCARD_SQL)
