@@ -762,3 +762,34 @@ def test_boolean_blocked_equals_flat(spark, tmp_path):
                eng.search_boolean_sharded(
                    [s0_p, s1_p], q, k=50, ranked=True).collect()]
         assert fed == single, q
+
+
+def test_warm_blocked_query_is_one_spark_job(spark, tmp_path):
+    """Pin the serving-latency claim structurally: a WARM blocked BM25
+    query under the low-latency scope costs exactly ONE Spark job (the
+    top-k collect; url resolution is the driver-side dict and the
+    result is a VALUES LocalRelation). A regression that reintroduces
+    the AQE per-shuffle job floor or a createDataFrame round-trip
+    shows up here as job count, independent of host-epoch timing."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.corpus import generate_pages
+    from google_like_search_engine_spark.engine import SearchEngine
+
+    pages = generate_pages(spark, 150).where(F.col("lang") == "en")
+    eng = SearchEngine(spark).build(pages, run_pagerank=False)
+    out = str(tmp_path / "blocked")
+    eng.save_blocked(out)
+    try:
+        with eng.low_latency():
+            eng.search_bm25_blocked(out, "search engine", k=10).collect()
+            sc = spark.sparkContext
+            for q in ("index merge", "web page", "search engine index"):
+                sc.setJobGroup(f"probe_{q}", "job count probe")
+                rows = eng.search_bm25_blocked(out, q, k=10).collect()
+                ids = sc.statusTracker().getJobIdsForGroup(f"probe_{q}")
+                assert len(ids) == 1, (q, len(ids))
+                assert rows  # nonempty on this corpus
+            sc.setJobGroup("probe_done", "clear")
+    finally:
+        eng.unpersist()
