@@ -229,3 +229,22 @@ def test_hybrid_route_sharded(hybrid_setup, hybrid_shards, tmp_path_factory):
 
 def _qv(emb, url):
     return emb.where(F.col("url") == url).select("embedding").take(1)[0][0]
+
+
+def test_warm_hybrid_is_two_spark_jobs(hybrid_setup):
+    """Structural latency pin: a warm hybrid request costs exactly TWO
+    Spark jobs — one per retriever (blocked BM25 top-k, cosine top-k);
+    the fusion itself is a driver-side merge returning a VALUES
+    LocalRelation (zero jobs). Independent of host-epoch timing."""
+    eng, blocked, emb = hybrid_setup
+    qv, _ = _expected_fusion(eng, blocked, emb, k=5)
+    with eng.low_latency():
+        eng.search_hybrid_rrf(blocked, QUERY, emb, qv, k=5, id_col="url").collect()
+        sc = eng.spark.sparkContext
+        sc.setJobGroup("probe_hybrid", "job count probe")
+        eng.search_hybrid_rrf(
+            blocked, "index merge", emb, qv, k=5, id_col="url"
+        ).collect()
+        ids = sc.statusTracker().getJobIdsForGroup("probe_hybrid")
+        sc.setJobGroup("probe_done", "clear")
+    assert len(ids) == 2, len(ids)

@@ -500,3 +500,15 @@ def test_sharded_search_route(engine, tmp_path_factory):
         assert code2 == 200 and got2 == want2 and got2
     finally:
         srv.shutdown()
+
+
+def test_warm_served_query_is_one_spark_job(engine):
+    """Structural pin for the served path: a warm single-index BM25
+    request on the serving cache is exactly ONE Spark job."""
+    engine.search_bm25_served("search engine", k=10).collect()
+    sc = engine.spark.sparkContext
+    sc.setJobGroup("probe_served", "job count probe")
+    rows = engine.search_bm25_served("index merge", k=10).collect()
+    ids = sc.statusTracker().getJobIdsForGroup("probe_served")
+    sc.setJobGroup("probe_done", "clear")
+    assert len(ids) == 1 and rows
