@@ -3834,3 +3834,35 @@ SELECT CAST(count(*) AS BIGINT) AS n_candidates,
        round(round(sum(g), 4) / round(sum(ig), 4), 4) AS ndcg
 FROM gains
 """
+
+
+def jsonl_roundtrip(spark, sf_dir):
+    """JSONL interchange round-trip: the documents table exported as
+    newline-delimited JSON (THE LLM training-data interchange format)
+    and read back with an explicit schema must reproduce the original
+    relation byte-for-byte — the oracle reads the ORIGINAL table, so
+    any escaping/encoding loss in the export or parse shows up as a
+    value mismatch (md5 over the text). Scale: both directions are
+    embarrassingly parallel file jobs; the explicit read schema avoids
+    the full inference pass a schemaless read would pay."""
+    import os
+
+    base = f"/tmp/spark_graft_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    docs.write.mode("overwrite").json(base)
+    back = spark.read.schema(docs.schema).json(base)
+    return back.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+    )
+
+
+JSONL_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
+FROM documents
+"""
