@@ -3866,3 +3866,112 @@ JSONL_ROUNDTRIP_SQL = """
 SELECT doc_id, lang, source, n_chars, md5(text) AS text_md5
 FROM documents
 """
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def count_min_terms(spark, sf_dir):
+    """Count-Min sketch over corpus term frequencies (Cormode &
+    Muthukrishnan 2005) — the fixed-memory frequency estimator a
+    streaming/scale pipeline keeps when the vocabulary doesn't fit
+    anywhere: CMS_DEPTH md5-salted hash rows x CMS_WIDTH counters
+    (4x256 cells here), estimate = min over rows of the term's cell.
+    Reported per query term against the true count, with the
+    guaranteed-nonnegative overestimate. Everything is integer
+    counting on deterministic md5 buckets, so the sketch build, the
+    probe, and the error are all exactly reproducible in SQL.
+
+    Scale: the sketch relation is DEPTH*WIDTH rows regardless of
+    corpus size (one hash agg); the probe is a broadcast join of
+    query-term cells."""
+    from .analytics.curation import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    rows = [
+        toks.select(
+            F.lit(i).alias("r"),
+            hash_bucket(F.col("w"), CMS_WIDTH, f":cms{i}").alias("b"),
+        )
+        for i in range(CMS_DEPTH)
+    ]
+    cells_src = rows[0]
+    for r in rows[1:]:
+        cells_src = cells_src.unionAll(r)
+    sketch = cells_src.groupBy("r", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    qdf = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
+    probes = qdf.select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        hash_bucket(F.col("w"), CMS_WIDTH, f":cms{i}").alias(
+                            "b"
+                        ),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("x"),
+    ).select("w", F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+    est = (
+        probes.join(sketch, ["r", "b"], "left")
+        .groupBy("w")
+        .agg(F.min(F.coalesce("c", F.lit(0))).cast("long").alias("est_count"))
+    )
+    true_c = (
+        toks.where(F.col("w").isin(QUERY_TERMS))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    return (
+        est.join(true_c, "w", "left")
+        .select(
+            "w",
+            F.coalesce("true_count", F.lit(0)).cast("long").alias("true_count"),
+            "est_count",
+            (F.col("est_count") - F.coalesce("true_count", F.lit(0)))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )
+
+
+def _cms_bucket_sql(expr: str, i: int) -> str:
+    return (
+        f"('0x' || substring(md5({expr} || ':cms{i}'), 1, 15))::BIGINT"
+        f" % {CMS_WIDTH}"
+    )
+
+
+COUNT_MIN_TERMS_SQL = f"""
+WITH {_TOKENS_CTE},
+cells AS (
+  {" UNION ALL ".join(
+      f"SELECT {i} AS r, {_cms_bucket_sql('w', i)} AS b FROM tokens"
+      for i in range(CMS_DEPTH)
+  )}),
+sketch AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+           FROM cells GROUP BY r, b),
+q AS (SELECT unnest([{_terms_lit()}]) AS w),
+probes AS (
+  {" UNION ALL ".join(
+      f"SELECT w, {i} AS r, {_cms_bucket_sql('w', i)} AS b FROM q"
+      for i in range(CMS_DEPTH)
+  )}),
+est AS (
+  SELECT w, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+  FROM probes LEFT JOIN sketch USING (r, b) GROUP BY w),
+true_c AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS true_count FROM tokens
+  WHERE w IN ({_terms_lit()}) GROUP BY w)
+SELECT w, CAST(coalesce(true_count, 0) AS BIGINT) AS true_count, est_count,
+       CAST(est_count - coalesce(true_count, 0) AS BIGINT) AS overestimate
+FROM est LEFT JOIN true_c USING (w)
+"""
