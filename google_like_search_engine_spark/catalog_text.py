@@ -3975,3 +3975,96 @@ SELECT w, CAST(coalesce(true_count, 0) AS BIGINT) AS true_count, est_count,
        CAST(est_count - coalesce(true_count, 0) AS BIGINT) AS overestimate
 FROM est LEFT JOIN true_c USING (w)
 """
+
+
+BLOOM_BITS = 64
+BLOOM_HASHES = 2
+
+
+def bloom_filter_terms(spark, sf_dir):
+    """Bloom-filter membership, exactly reproducible: build a
+    BLOOM_BITS-bit filter (BLOOM_HASHES md5-salted hash functions) over
+    the corpus vocabulary, then probe one guaranteed-absent derived
+    term per vocabulary word (w || '_absent' — never a corpus token,
+    the tokenizer splits on spaces only) and report each probe's bloom
+    verdict; every hit is by construction a false positive, so the
+    relation IS the measured FP behavior. The filter is deliberately
+    small (64 bits for a ~31-term vocabulary) so the classic
+    (1-e^{-kn/m})^k FP regime is actually exercised rather than
+    vacuously zero. The bit set is a deterministic function of md5
+    buckets — filter, probes and verdicts replay exactly in SQL.
+
+    This is the runtime-filter / semi-join-pushdown primitive (Spark's
+    InBloomFilter) in auditable form; at scale the filter relation is
+    <= BLOOM_BITS rows regardless of vocabulary size and probes
+    broadcast against it."""
+    from .analytics.curation import hash_bucket
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = _tokens(docs).select("w").distinct()
+    bits = (
+        vocab.select(
+            F.explode(
+                F.array(
+                    *[
+                        hash_bucket(F.col("w"), BLOOM_BITS, f":bf{i}")
+                        for i in range(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("bit")
+        )
+        .distinct()
+    )
+    probes = vocab.select(
+        F.concat(F.col("w"), F.lit("_absent")).alias("w")
+    ).select(
+        "w",
+        F.explode(
+            F.array(
+                *[
+                    hash_bucket(F.col("w"), BLOOM_BITS, f":bf{i}")
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("bit"),
+    )
+    return (
+        probes.join(bits.withColumn("set", F.lit(1)), "bit", "left")
+        .groupBy("w")
+        .agg(
+            (F.sum(F.coalesce("set", F.lit(0))) == BLOOM_HASHES).alias(
+                "is_false_positive"
+            )
+        )
+    )
+
+
+def _bloom_bits_sql(expr: str, i: int) -> str:
+    return (
+        f"('0x' || substring(md5({expr} || ':bf{i}'), 1, 15))::BIGINT"
+        f" % {BLOOM_BITS}"
+    )
+
+
+BLOOM_FILTER_TERMS_SQL = f"""
+WITH {_TOKENS_CTE},
+vocab AS (SELECT DISTINCT w FROM tokens),
+bits AS (
+  SELECT DISTINCT bit FROM (
+    {" UNION ALL ".join(
+        f"SELECT {_bloom_bits_sql('w', i)} AS bit FROM vocab"
+        for i in range(BLOOM_HASHES)
+    )})),
+probes AS (
+  {" UNION ALL ".join(
+      "SELECT w || '_absent' AS w, "
+      + _bloom_bits_sql("(w || '_absent')", i)
+      + " AS bit FROM vocab"
+      for i in range(BLOOM_HASHES)
+  )})
+SELECT p.w,
+       sum(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_HASHES}
+         AS is_false_positive
+FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+GROUP BY p.w
+"""
