@@ -3214,6 +3214,18 @@ GROUP BY wtf.doc_id
 """
 
 
+def _n_matched_agg():
+    """Distinct QUERY_TERMS matched per doc — the shared relevance-
+    model expression for ltr_features and hybrid_eval_ndcg (aggregates
+    at most len(QUERY_TERMS) distinct values per doc). One Spark
+    expression + one SQL twin so the evals move together."""
+    return F.countDistinct(F.when(F.col("w").isin(QUERY_TERMS), F.col("w")))
+
+
+def _n_matched_sql_expr() -> str:
+    return f"count(DISTINCT CASE WHEN w IN ({_terms_lit()}) THEN w END)"
+
+
 def ltr_features(spark, sf_dir):
     """Learning-to-rank feature export: for every document matching any
     query term, the per-(query, doc) feature row an LTR trainer
@@ -3230,14 +3242,7 @@ def ltr_features(spark, sf_dir):
         F.sum(F.when(F.col("w").isin(QUERY_TERMS), 1).otherwise(0))
         .cast("long")
         .alias("tf_total"),
-        # countDistinct over a when(): at most len(QUERY_TERMS) distinct
-        # values per doc — never materializes the doc's full vocabulary
-        # (the SQL twin's count(DISTINCT CASE ...) shape)
-        F.countDistinct(
-            F.when(F.col("w").isin(QUERY_TERMS), F.col("w"))
-        )
-        .cast("int")
-        .alias("n_matched"),
+        _n_matched_agg().cast("int").alias("n_matched"),
     )
     bm = bm25_search(spark, sf_dir).withColumnRenamed("score", "bm25")
     ti = tfidf_search(spark, sf_dir).withColumnRenamed("score", "tfidf")
@@ -3256,7 +3261,7 @@ per_doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS dl,
          CAST(sum(CASE WHEN w IN ({_terms_lit()}) THEN 1 ELSE 0 END)
               AS BIGINT) AS tf_total,
-         CAST(count(DISTINCT CASE WHEN w IN ({_terms_lit()}) THEN w END)
+         CAST({_n_matched_sql_expr()}
               AS INT) AS n_matched
   FROM tokens GROUP BY doc_id)
 SELECT b.doc_id, n_matched, tf_total, dl,
@@ -3705,16 +3710,20 @@ def events_partitioned_day(spark, sf_dir):
     2-decimal-sum rounding policy."""
     import os
 
-    base = f"/tmp/spark_graft_evpart_{os.path.basename(sf_dir.rstrip('/'))}"
-    marker = f"{base}/_SUCCESS"
-    if not os.path.exists(marker):
-        ev = load(spark, sf_dir, "events")
-        (
-            ev.withColumn("event_date", F.to_date("ts"))
-            .write.mode("overwrite")
-            .partitionBy("event_date")
-            .parquet(base)
-        )
+    # pid-scoped path (concurrent runs can't race each other's
+    # overwrite) and ALWAYS rewritten: a cached copy keyed on the dir
+    # basename silently diverges when the testdata is regenerated
+    base = (
+        f"/tmp/spark_graft_evpart_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}"
+    )
+    ev = load(spark, sf_dir, "events")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(base)
+    )
     part = spark.read.parquet(base).where(
         F.col("event_date") == F.lit(EVENTS_PART_DAY).cast("date")
     )
@@ -3748,9 +3757,7 @@ def hybrid_eval_ndcg(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     toks = _tokens(docs)
     stats = toks.groupBy("doc_id").agg(
-        F.countDistinct(
-            F.when(F.col("w").isin(QUERY_TERMS), F.col("w"))
-        ).alias("n_matched")
+        _n_matched_agg().alias("n_matched")
     )
     cand = (
         fused.join(stats, "doc_id", "left")
@@ -3806,7 +3813,7 @@ WITH h AS ({HYBRID_SEARCH_RRF_SQL}),
 {_TOKENS_CTE.strip()},
 stats AS (
   SELECT doc_id,
-         count(DISTINCT CASE WHEN w IN ({_terms_lit()}) THEN w END)
+         {_n_matched_sql_expr()}
            AS n_matched
   FROM tokens GROUP BY doc_id),
 cand AS (
@@ -3847,7 +3854,10 @@ def jsonl_roundtrip(spark, sf_dir):
     the full inference pass a schemaless read would pay."""
     import os
 
-    base = f"/tmp/spark_graft_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+    base = (
+        f"/tmp/spark_graft_jsonl_{os.path.basename(sf_dir.rstrip('/'))}"
+        f"_{os.getpid()}"
+    )
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -3890,16 +3900,25 @@ def count_min_terms(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     toks = _tokens(docs)
-    rows = [
-        toks.select(
-            F.lit(i).alias("r"),
-            hash_bucket(F.col("w"), CMS_WIDTH, f":cms{i}").alias("b"),
-        )
-        for i in range(CMS_DEPTH)
-    ]
-    cells_src = rows[0]
-    for r in rows[1:]:
-        cells_src = cells_src.unionAll(r)
+    # ONE pass over the token relation: the depth dimension is an
+    # explode over an array of (row, bucket) structs, not a
+    # CMS_DEPTH-branch union that would re-tokenize the corpus per
+    # branch (the round-2 dedup lesson)
+    cells_src = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("r"),
+                        hash_bucket(F.col("w"), CMS_WIDTH, f":cms{i}").alias(
+                            "b"
+                        ),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("x")
+    ).select(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
     sketch = cells_src.groupBy("r", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -4001,7 +4020,10 @@ def bloom_filter_terms(spark, sf_dir):
     from .analytics.curation import hash_bucket
 
     docs = load(spark, sf_dir, "documents")
-    vocab = _tokens(docs).select("w").distinct()
+    # materialized once: bits and probes both consume the full
+    # tokenize+distinct — without the checkpoint the corpus would be
+    # scanned twice inside one returned plan
+    vocab = _tokens(docs).select("w").distinct().localCheckpoint(eager=True)
     bits = (
         vocab.select(
             F.explode(

@@ -121,6 +121,7 @@ def make_server(
     embeddings_path: str | None = None,
     versioned_root: str | None = None,
     initial_snapshot: str | None = None,
+    blocked_external: bool = False,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -163,11 +164,15 @@ def make_server(
     # the active serving view: ONE reference swapped atomically by
     # /admin/reload so a request never sees a new engine with an old
     # blocked path (or vice versa). initial_snapshot seeds the snapshot
-    # token so a reload with no new publish is a true no-op; the
-    # operator-supplied blocked dir is remembered as the fallback for
-    # snapshots that don't embed one (snapshot-independent — the
-    # operator owns its freshness).
-    initial_blocked = blocked_path
+    # token so a reload with no new publish is a true no-op. After a
+    # reload, positional routes keep serving ONLY an EXPLICITLY
+    # operator-supplied blocked dir (blocked_external=True — the
+    # operator owns its freshness by contract); an auto-derived
+    # <snapshot>/blocked is version-scoped, so falling back to the old
+    # snapshot's would silently skew /phrase vs /search across
+    # versions — those routes disable instead until the new snapshot
+    # ships its own blocked dir.
+    initial_blocked = blocked_path if blocked_external else None
     state = {"active": (engine, blocked_path, initial_snapshot)}
 
     # per-route request counters + latency samples (bounded ring), the

@@ -106,6 +106,7 @@ def main():
         cache_size=args.cache, embeddings_path=args.embeddings,
         versioned_root=versioned_root,
         initial_snapshot=args.index if versioned_root else None,
+        blocked_external=bool(args.blocked),
     )
     routes = "/search?query=  /autocomplete?prefix=  /health"
     if blocked:

@@ -237,7 +237,8 @@ def test_warm_hybrid_is_two_spark_jobs(hybrid_setup):
     the fusion itself is a driver-side merge returning a VALUES
     LocalRelation (zero jobs). Independent of host-epoch timing."""
     eng, blocked, emb = hybrid_setup
-    qv, _ = _expected_fusion(eng, blocked, emb, k=5)
+    top = eng.search_bm25_blocked(blocked, QUERY, k=1).collect()[0]["url"]
+    qv = _qv(emb, top)
     with eng.low_latency():
         eng.search_hybrid_rrf(blocked, QUERY, emb, qv, k=5, id_col="url").collect()
         sc = eng.spark.sparkContext
