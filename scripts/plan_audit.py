@@ -277,6 +277,28 @@ def main():
         ("whole-stage codegen", has("[codegen id :")),
     ])
 
+    # sketches: fixed-memory relations built in one pass, JVM-only
+    audit("count_min_terms", t.count_min_terms(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        # the depth-branch regression shape is a Union of per-row
+        # re-scans; the one-pass explode build has no Union at all
+        # (two scans remain: sketch build + true counts)
+        ("one-pass build (no union re-scan)", not_has("Union")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+    audit("bloom_filter_terms", t.bloom_filter_terms(spark, sf_dir), [
+        ("no python udf", not_has("BatchEvalPython")),
+        ("whole-stage codegen", has("[codegen id :")),
+    ])
+
+    # LPA: per-superstep join+agg partitioned by vertex, no cartesian
+    from google_like_search_engine_spark.registry import _label_propagation
+
+    audit("label_propagation", _label_propagation(spark, sf_dir), [
+        ("no cartesian", not_has("CartesianProduct")),
+        ("no python udf", not_has("BatchEvalPython")),
+    ])
+
     out_path = os.path.join(REPO, "BENCH", "plan_audit_round5.txt")
     failed = 0
     with open(out_path, "w") as f:
