@@ -299,3 +299,24 @@ def positive_terms(node: BoolNode, negated: bool = False) -> list:
     for a in node.args:
         out.extend(positive_terms(a, negated))
     return list(dict.fromkeys(out))
+
+
+def eval_boolean(node: BoolNode, tokens: set) -> bool:
+    """Evaluate the AST against ONE document's token set, driver-side —
+    the third compiler over the same tree (Column, SQL predicate, and
+    now plain Python). This is the per-document ingest form of
+    percolation: matching one arriving document against stored queries
+    is a set-membership walk, no Spark job at all. Wildcard terms
+    ("quer*") test any-token-startswith, matching the other two
+    compilers' semantics exactly."""
+    if node.op == "term":
+        t = node.args
+        if t.endswith("*"):
+            pre = t[:-1]
+            return any(w.startswith(pre) for w in tokens)
+        return t in tokens
+    if node.op == "not":
+        return not eval_boolean(node.args, tokens)
+    if node.op == "and":
+        return all(eval_boolean(a, tokens) for a in node.args)
+    return any(eval_boolean(a, tokens) for a in node.args)

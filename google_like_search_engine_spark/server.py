@@ -122,6 +122,7 @@ def make_server(
     versioned_root: str | None = None,
     initial_snapshot: str | None = None,
     blocked_external: bool = False,
+    percolator: dict | None = None,
 ) -> ThreadingHTTPServer:
     """Build (not start) the HTTP server; caller runs serve_forever().
 
@@ -189,8 +190,20 @@ def make_server(
     _KNOWN_ROUTES = {
         "/", "/health", "/metrics", "/search", "/autocomplete",
         "/suggest", "/boolean", "/stats", "/phrase", "/proximity",
-        "/threshold", "/hybrid", "/admin/reload",
+        "/threshold", "/hybrid", "/admin/reload", "/percolate",
     }
+
+    # stored standing queries for /percolate, parsed ONCE at server
+    # build — matching an arriving document is then a driver-side
+    # set-membership walk (functions.library.eval_boolean), no Spark
+    # job at all: the ingest-side alerting hot path
+    _percolator_asts = None
+    if percolator:
+        from .functions.library import parse_boolean_query
+
+        _percolator_asts = {
+            qid: parse_boolean_query(q) for qid, q in sorted(percolator.items())
+        }
 
     # lazily-loaded, pinned embeddings relation for /hybrid (the
     # vector retriever's input); loaded once under a lock — requests
@@ -550,7 +563,25 @@ def make_server(
                     for r in res.collect()
                 ]
                 self._json(200, {"terms": terms, "window": window, "results": rows})
+            elif u.path == "/percolate" and _percolator_asts:
+                text = q.get("text", "")
+                if not text:
+                    self._json(400, {"error": "missing ?text="})
+                    return
+                from .functions.library import eval_boolean
+
+                tokens = {w.lower() for w in text.split() if w}
+                matches = [
+                    qid
+                    for qid, ast in _percolator_asts.items()
+                    if eval_boolean(ast, tokens)
+                ]
+                self._json(
+                    200,
+                    {"n_queries": len(_percolator_asts), "matches": matches},
+                )
             elif u.path == "/hybrid" and embeddings_path and (
+
                 blocked_path or shard_paths
             ):
                 query = q.get("query", "")

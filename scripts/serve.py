@@ -44,6 +44,12 @@ def main():
         "route (needs a blocked index)",
     )
     ap.add_argument(
+        "--percolate",
+        help="JSON file of {query_id: boolean query} standing queries: "
+        "opens GET /percolate?text= (per-document stored-query "
+        "matching, no Spark job)",
+    )
+    ap.add_argument(
         "--version", type=int, default=None,
         help="serve a SNAPSHOT of a versioned index (save_versioned "
         "layout): --version N time-travels, omitting it serves the "
@@ -56,6 +62,12 @@ def main():
     from google_like_search_engine_spark.session import get_spark
 
     spark = get_spark("serve")
+    percolator = None
+    if args.percolate:
+        import json as _json
+
+        with open(args.percolate) as f:
+            percolator = _json.load(f)
     eng = SearchEngine(spark)
     shard_paths = [p for p in args.shards.split(",") if p]
     if shard_paths:
@@ -107,6 +119,7 @@ def main():
         versioned_root=versioned_root,
         initial_snapshot=args.index if versioned_root else None,
         blocked_external=bool(args.blocked),
+        percolator=percolator,
     )
     routes = "/search?query=  /autocomplete?prefix=  /health"
     if blocked:

@@ -512,3 +512,35 @@ def test_warm_served_query_is_one_spark_job(engine):
     ids = sc.statusTracker().getJobIdsForGroup("probe_served")
     sc.setJobGroup("probe_done", "clear")
     assert len(ids) == 1 and rows
+
+
+def test_percolate_route(engine):
+    """Per-document stored-query matching: driver-side AST walk, no
+    Spark job; semantics match the other two boolean compilers."""
+    queries = {
+        "q_and": "search AND engine",
+        "q_not": "search AND NOT zzznope",
+        "q_wild": "engi*",
+        "q_miss": "zzznope",
+    }
+    srv = make_server(engine, "127.0.0.1", 0, percolator=queries)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        import urllib.parse
+
+        q = urllib.parse.urlencode({"text": "the search engine index page"})
+        code, body = _get(f"{base}/percolate?{q}")
+        assert code == 200 and body["n_queries"] == 4
+        assert body["matches"] == ["q_and", "q_not", "q_wild"]
+        # no Spark job: the route works even for giant stored-query sets
+        sc = engine.spark.sparkContext
+        sc.setJobGroup("probe_perc", "x")
+        _get(f"{base}/percolate?{q}")
+        assert len(sc.statusTracker().getJobIdsForGroup("probe_perc")) == 0
+        # validation + absence of the route without stored queries
+        code2, _ = _get_allow_error(f"{base}/percolate")
+        assert code2 == 400
+    finally:
+        srv.shutdown()
