@@ -4090,3 +4090,57 @@ SELECT p.w,
 FROM probes p LEFT JOIN bits b ON b.bit = p.bit
 GROUP BY p.w
 """
+
+
+SOURCE_FLAG_MAX_KEEP = 0.60005  # off the round-4 grid
+
+
+def source_quality_report(spark, sf_dir):
+    """Per-source (per-domain) quality report: the decision input for
+    domain-level blocklisting (CCNet/RefinedWeb-style pipelines drop
+    whole sources whose documents chronically fail the quality gates,
+    which is cheaper and safer than re-judging every future page from
+    a spam domain). Aggregates the oracle-green quality_filter
+    verdicts per source: doc count, quality-keep count, keep rate
+    (int ratio, round 4) and the blocklist flag against an off-grid
+    threshold. Scale: one per-doc gate relation (already audited) and
+    one tiny per-source agg — sources are the group key, so the report
+    is domain-cardinality rows."""
+    qf = quality_filter(spark, sf_dir).select("doc_id", "keep")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        docs.join(qf, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_keep"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_keep",
+        F.round(F.col("n_keep") / F.col("n_docs"), 4).alias("keep_rate"),
+        (
+            F.round(F.col("n_keep") / F.col("n_docs"), 4)
+            < SOURCE_FLAG_MAX_KEEP
+        ).alias("flagged"),
+    )
+
+
+SOURCE_QUALITY_REPORT_SQL = f"""
+WITH qf AS ({QUALITY_FILTER_SQL}),
+agg AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+  FROM documents d LEFT JOIN qf USING (doc_id)
+  GROUP BY d.source)
+SELECT source, n_docs, n_keep,
+       round(CAST(n_keep AS DOUBLE) / n_docs, 4) AS keep_rate,
+       round(CAST(n_keep AS DOUBLE) / n_docs, 4) < {SOURCE_FLAG_MAX_KEEP}
+         AS flagged
+FROM agg
+"""

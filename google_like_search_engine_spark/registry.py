@@ -1072,6 +1072,10 @@ EXTRA_ORACLE_QUERIES["bloom_filter_terms"] = (
     t.bloom_filter_terms,
     t.BLOOM_FILTER_TERMS_SQL,
 )
+EXTRA_ORACLE_QUERIES["source_quality_report"] = (
+    t.source_quality_report,
+    t.SOURCE_QUALITY_REPORT_SQL,
+)
 EXTRA_ORACLE_QUERIES["flame_count"] = (c.flame_count, c.FLAME_COUNT_SQL)
 EXTRA_ORACLE_QUERIES["flame_take"] = (c.flame_take, c.FLAME_TAKE_SQL)
 EXTRA_ORACLE_QUERIES["flame_distinct"] = (c.flame_distinct, c.FLAME_DISTINCT_SQL)
