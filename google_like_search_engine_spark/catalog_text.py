@@ -25,7 +25,12 @@ STOP_TERMS = ["the", "a", "of", "and", "to", "in", "is", "it", "on", "for"]
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
-    """(doc_id, w) exploded non-empty tokens."""
+    """(doc_id, w) exploded non-empty tokens.
+
+    Measured (guide §1): the explode+partial-agg is cheap enough that a
+    pre-explode repartition (extra exchange + AQE round) LOSES ~0.3 s
+    per query at bench scale — the _parallel guard is deliberately not
+    applied here; the md5-heavy shingle path is the one that needs it."""
     return (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
@@ -107,27 +112,36 @@ def _terms_lit():
 def tfidf_search(spark, sf_dir):
     """Reference scoring shape (Ranker.java:78-112) in pure relational
     form: tf_norm = tf / doc L2 norm, idf = ln(N/df), score = sum per doc.
-    Full scored set, no limit (rank-stability across engines)."""
+    Full scored set, no limit (rank-stability across engines).
+
+    Plan shape (optimization guide §2.3/§2.4): ONE scan+explode pass.
+    The old form re-scanned + re-exploded documents three times (tf, l2
+    and df branches) and paid an eager count() job for N per call. Here
+    the per-doc aggregation computes the L2 norm AND collects the
+    query-term (w, tf) pairs in the same pass (collect_list skips the
+    non-matching nulls), N rides the lazy plan as a broadcast 1-row
+    relation, and the final per-doc sum reuses the doc_id partitioning.
+    Arithmetic is unchanged: tf/tf^2/df/N are exact integers, floats
+    enter only at the final sum exactly as before."""
     docs = load(spark, sf_dir, "documents")
-    n = float(docs.count())
+    nrel = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     tf = _tokens(docs).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    l2 = tf.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("l2")
+    qmatch = F.when(F.col("w").isin(QUERY_TERMS), F.struct("w", "tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("l2"),
+        F.collect_list(qmatch).alias("mtf"),
     )
-    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
-    dfc = (
-        tf.join(F.broadcast(terms), "w")
-        .groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    m = per_doc.select("doc_id", "l2", F.explode("mtf").alias("e")).select(
+        "doc_id", "l2", F.col("e.w").alias("w"), F.col("e.tf").alias("tf")
     )
+    dfc = m.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     return (
-        tf.join(F.broadcast(terms), "w")
-        .join(F.broadcast(dfc), "w")
-        .join(l2, "doc_id")
+        m.join(F.broadcast(dfc), "w")
+        .join(F.broadcast(nrel))
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum((F.col("tf") / F.col("l2")) * F.log(F.lit(n) / F.col("df"))), 4
+                F.sum((F.col("tf") / F.col("l2")) * F.log(F.col("n") / F.col("df"))), 4
             ).alias("score")
         )
     )
@@ -146,30 +160,39 @@ GROUP BY tf.doc_id
 
 
 def bm25_search(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
-    """BM25 with Robertson idf over the documents table; full scored set."""
+    """BM25 with Robertson idf over the documents table; full scored set.
+
+    Plan shape (optimization guide §2.3/§2.4): ONE scan+explode pass —
+    dl is derived as sum(tf) per doc (identical integer: both count the
+    doc's non-empty tokens) in the same per-doc aggregation that
+    collects the query-term (w, tf) pairs, and N / avgdl ride the lazy
+    plan as broadcast 1-row relations instead of an eager count() +
+    collect() job pair per call. avgdl = avg over exact integer dl sums,
+    so its double value is identical to the old collected literal."""
     docs = load(spark, sf_dir, "documents")
-    n = float(docs.count())
-    toks = _tokens(docs)
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
-    terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
-    dfc = (
-        tf.join(F.broadcast(terms), "w")
-        .groupBy("w")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    nrel = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tf = _tokens(docs).groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    qmatch = F.when(F.col("w").isin(QUERY_TERMS), F.struct("w", "tf"))
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("tf").alias("dl"),
+        F.collect_list(qmatch).alias("mtf"),
     )
+    stats = per_doc.agg(F.avg("dl").alias("avgdl"))
+    m = per_doc.select("doc_id", "dl", F.explode("mtf").alias("e")).select(
+        "doc_id", "dl", F.col("e.w").alias("w"), F.col("e.tf").alias("tf")
+    )
+    dfc = m.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     return (
-        tf.join(F.broadcast(terms), "w")
-        .join(F.broadcast(dfc), "w")
-        .join(dl, "doc_id")
+        m.join(F.broadcast(dfc), "w")
+        .join(F.broadcast(nrel))
+        .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.round(
                 F.sum(
-                    F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
                     * (F.col("tf") * (k1 + 1))
-                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
                 ),
                 4,
             ).alias("score")
@@ -325,9 +348,14 @@ def _shingles(spark, sf_dir) -> DataFrame:
     # guard: sequence(0, negative) would run descending and element_at
     # would hit invalid indexes under ANSI mode
     shingles = F.when(F.size(toks) >= 3, window).otherwise(F.array().cast("array<string>"))
+    # no .distinct() after the explode: array_distinct already dedupes
+    # within a doc and doc_id is unique per input row, so (doc_id, sh)
+    # is unique by construction — the old cross-row distinct was a
+    # full no-op shuffle of every shingle string (guide §2.4: a
+    # `distinct` on data that is already unique).
     return docs.select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
-    ).distinct()
+    )
 
 
 LSH_BUCKET_CAP = 1000
@@ -350,7 +378,12 @@ def dedup_minhash(spark, sf_dir):
     # the signature aggregation (8 md5 min-hashes over every shingle) is
     # the expensive pass and feeds the band filter AND both self-join
     # sides — persist it, and derive the 4 band rows with one explode
-    # instead of a 4-branch union (each branch would re-run the plan)
+    # instead of a 4-branch union (each branch would re-run the plan).
+    # (Measured alternatives, guide §1: a collect_list-per-bucket pair
+    # expansion replaced the self-join with 2 fewer exchanges but ran
+    # 6x SLOWER — near-identical docs make a few giant buckets, and a
+    # single task then allocates the whole n^2/2 pair array where the
+    # streamed self-join spreads the cross product across reducers.)
     sig = sh.groupBy("doc_id").agg(*aggs).persist()
     band_structs = F.array(
         *[
@@ -780,10 +813,16 @@ def cosine_scores(spark, sf_dir):
     (JVM-side: zip_with + aggregate; no Python in the hot path).
     Full scored set, rounded — the ANN top-k trim happens benchside."""
     emb = load(spark, sf_dir, "embeddings")
-    qv = emb.where(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-    q = F.array(*[F.lit(float(x)) for x in qv])
+    # the query vector rides the lazy plan as a broadcast 1-row relation
+    # (cross join) instead of an eager collect() job per call; the
+    # fold arithmetic below is element-for-element identical to the old
+    # literal-array form (same casts, same left-fold order), so scores
+    # are bit-identical.
+    qrel = emb.where(F.col("vec_id") == 0).select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe")
+    )
     dot = F.aggregate(
-        F.zip_with(F.col("embedding"), q, lambda x, y: x.cast("double") * y),
+        F.zip_with(F.col("embedding"), F.col("qe"), lambda x, y: x.cast("double") * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -794,9 +833,13 @@ def cosine_scores(spark, sf_dir):
             lambda acc, v: acc + v.cast("double") * v.cast("double"),
         )
     )
-    qn = float(sum(float(x) * float(x) for x in qv) ** 0.5)
-    return emb.select(
-        "vec_id", F.round(dot / (nrm * F.lit(qn)), 4).alias("cos_sim")
+    qn = F.sqrt(
+        F.aggregate(
+            F.col("qe"), F.lit(0.0), lambda acc, v: acc + v * v
+        )
+    )
+    return emb.join(F.broadcast(qrel)).select(
+        "vec_id", F.round(dot / (nrm * qn), 4).alias("cos_sim")
     )
 
 

@@ -118,12 +118,19 @@ def assign_doc_indexes(docs: DataFrame, order_col: str = "doc_id") -> DataFrame:
     spark = docs.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = ["doc_id"] if order_col == "doc_id" else [order_col, "doc_id"]
+    # localCheckpoint (not persist+count+second checkpoint): ONE
+    # materialization of the distinct+range-sort pins both the exact
+    # partitioning and the row order, the per-partition counts job then
+    # reads the checkpointed blocks (no recompute), and the numbering
+    # pass below can stay lazy — deterministic over pinned input — so
+    # the old third full-pipeline pass (eager numbering checkpoint)
+    # disappears (guide §1.2: remove passes first).
     ids = (
         docs.select(*cols)
         .distinct()
         .repartitionByRange(nparts, order_col)
         .sortWithinPartitions(order_col)
-        .persist()  # pins the range partitioning across the two passes
+        .localCheckpoint(eager=True)
     )
     counts = (
         ids.select(F.spark_partition_id().alias("pid"))
@@ -150,15 +157,11 @@ def assign_doc_indexes(docs: DataFrame, order_col: str = "doc_id") -> DataFrame:
                 {"doc_id": pdf["doc_id"], "doc_index": idx.to_numpy()}
             )
 
-    # materialize the numbering executor-side (localCheckpoint pins the
-    # exact (doc_id -> doc_index) assignment), then release the pinned
-    # range-partitioned input — the old lazy return leaked the persisted
-    # ids relation across repeated builds
-    numbered = ids.mapInPandas(
-        number, schema="doc_id string, doc_index long"
-    ).localCheckpoint(eager=True)
-    ids.unpersist()
-    return numbered
+    # the numbering is LAZY over the checkpointed ids: partition ids,
+    # row order and counts are pinned by the checkpoint above, so every
+    # evaluation yields the identical (doc_id -> doc_index) assignment
+    # without a second eager materialization job.
+    return ids.mapInPandas(number, schema="doc_id string, doc_index long")
 
 
 BLOCKS_SCHEMA = (

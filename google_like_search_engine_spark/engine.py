@@ -573,17 +573,34 @@ class SearchEngine:
         retriever then federates through search_bm25_sharded (global
         stats recombined, concurrent shard fan-out) and fusion is
         unchanged — hybrid search over a sharded deployment."""
+        from concurrent.futures import ThreadPoolExecutor
+
         from .analytics.simsearch import cosine_topk
 
-        if isinstance(index_path, (list, tuple)):
-            bm_rows = self.search_bm25_sharded(
-                list(index_path), query, k=pool
+        def _lexical():
+            if isinstance(index_path, (list, tuple)):
+                return self.search_bm25_sharded(
+                    list(index_path), query, k=pool
+                ).collect()
+            return self.search_bm25_blocked(index_path, query, k=pool).collect()
+
+        def _vector():
+            return cosine_topk(
+                emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col
             ).collect()
-        else:
-            bm_rows = self.search_bm25_blocked(index_path, query, k=pool).collect()
-        cs_rows = cosine_topk(
-            emb, query_vec, k=pool, id_col=id_col, vec_col=vec_col
-        ).collect()
+
+        # the two retrievers are independent jobs — submit them
+        # concurrently (guide §2.6) so request latency is the slower
+        # retriever, not the sum; same pattern as the shard fan-out.
+        # inheritable_thread_target propagates the caller thread's JVM
+        # local properties (job group / description), so UI labels and
+        # statusTracker job-count pins keep working across the pool.
+        from pyspark.util import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            bm_f = ex.submit(inheritable_thread_target(_lexical))
+            cs_f = ex.submit(inheritable_thread_target(_vector))
+            bm_rows, cs_rows = bm_f.result(), cs_f.result()
         ranks: dict = {}
         for i, r in enumerate(bm_rows):
             ranks[str(r["url"])] = [i + 1, 0]

@@ -44,6 +44,14 @@ POSTINGS_SCHEMA = (
 
 _TAG_RE = re.compile(r"<[^>]*>")
 
+# tokenize-stage task granularity for small inputs: bytes of (compressed)
+# source text per task when fanning a narrow scan out for the CPU-heavy
+# tokenizer. ~256 KiB of parquet ~ a couple thousand docs ~ O(1 s) of
+# Python tokenization — big enough to amortize task scheduling, small
+# enough to use the cores. Only consulted when the input has fewer
+# partitions than cores (see build_postings).
+TOKENIZE_SPLIT_BYTES = 256 * 1024
+
 def _url_ok():
     # Indexer.java:31 — url filter: not null, no "..", length <= 2048.
     return (
@@ -80,7 +88,28 @@ def build_postings(docs: DataFrame) -> DataFrame:
     partition; positions/tf/l2_norm are computed per document exactly as
     Indexer.java:56-99 (incl. the tag strip at line 35 that removes the
     appended link anchors before tokenization).
+
+    Scale-adaptive parallelism (guide §2, "derive from input size"): a
+    small corpus in one parquet file/row-group would tokenize AND be
+    cached serially, while blindly fanning out to defaultParallelism
+    makes every downstream cached-postings query schedule a task per
+    core for droplets of data (measured: p50 483 ms at 32 cached
+    partitions vs 241 ms at 4 for a 139k-row postings cache). So when
+    the input has fewer partitions than cores, size the fan-out from
+    the plan's estimated input bytes at TOKENIZE_SPLIT_BYTES per task,
+    capped at defaultParallelism; at real scale the scan already
+    yields >= defaultParallelism splits and the guard is a no-op.
+    Streaming inputs pass through untouched (repartitioning is the
+    caller's choice there).
     """
+    if not docs.isStreaming:
+        sc = docs.sparkSession.sparkContext
+        cur = docs.rdd.getNumPartitions()
+        if cur < sc.defaultParallelism:
+            est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            want = max(1, min(sc.defaultParallelism, -(-est // TOKENIZE_SPLIT_BYTES)))
+            if want > cur:
+                docs = docs.repartition(want)
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
