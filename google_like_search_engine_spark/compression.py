@@ -25,6 +25,11 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+# doc-id bytes per range partition when numbering a small id set (see
+# assign_doc_indexes); at real corpus sizes the shuffle.partitions cap
+# governs instead.
+RANGE_SPLIT_BYTES = 4 * 1024 * 1024
+
 
 def varint_encode(values, out: bytearray) -> None:
     for v in values:
@@ -118,44 +123,64 @@ def assign_doc_indexes(docs: DataFrame, order_col: str = "doc_id") -> DataFrame:
     spark = docs.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     cols = ["doc_id"] if order_col == "doc_id" else [order_col, "doc_id"]
-    # localCheckpoint (not persist+count+second checkpoint): ONE
-    # materialization of the distinct+range-sort pins both the exact
-    # partitioning and the row order, the per-partition counts job then
-    # reads the checkpointed blocks (no recompute), and the numbering
-    # pass below can stay lazy — deterministic over pinned input — so
-    # the old third full-pipeline pass (eager numbering checkpoint)
-    # disappears (guide §1.2: remove passes first).
+    sel = docs.select(*cols)
+    # size-derived range-partition count (guide §2): a small id set in
+    # shuffle.partitions range buckets pays 30+ scheduled tasks in each
+    # of the three numbering jobs for droplets of data. Estimated plan
+    # bytes at RANGE_SPLIT_BYTES per partition, capped at the configured
+    # shuffle.partitions (unknown stats estimate as huge -> cap, i.e.
+    # the old behavior at scale).
+    est = int(sel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    nparts = max(1, min(nparts, -(-est // RANGE_SPLIT_BYTES)))
+    # Two structural cuts vs the original three-pass shape (guide §1.2
+    # / §2.4 — remove shuffles and passes first):
+    # 1. NO global .distinct(): range partitioning by order_col already
+    #    co-locates equal rows (equal keys land in one range), so dedup
+    #    is partition-local — the counts job counts distinct rows per
+    #    partition and the numbering pass drops sorted-adjacent
+    #    duplicates. That deletes a full shuffle that used to run twice
+    #    (once inside the range sampler, once in the materialization).
+    # 2. ONE localCheckpoint (not persist+count+second checkpoint):
+    #    it pins partitioning and row order, the counts job reads the
+    #    checkpointed blocks, and the numbering pass stays lazy —
+    #    deterministic over pinned input.
+    # sortWithinPartitions uses ALL cols so duplicates are adjacent and
+    # order_col ties break deterministically on doc_id.
     ids = (
-        docs.select(*cols)
-        .distinct()
-        .repartitionByRange(nparts, order_col)
-        .sortWithinPartitions(order_col)
+        sel.repartitionByRange(nparts, order_col)
+        .sortWithinPartitions(*cols)
         .localCheckpoint(eager=True)
     )
     counts = (
-        ids.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
+        ids.groupBy(F.spark_partition_id().alias("pid"))
+        # distinct STRUCT, not countDistinct(cols): the struct form
+        # counts rows with null fields the way .distinct() kept them
+        .agg(F.count_distinct(F.struct(*cols)).alias("n"))
         .collect()
     )
     offsets = {}
     acc = 0
     for row in sorted(counts, key=lambda r: r["pid"]):
         offsets[row["pid"]] = acc
-        acc += row["count"]
+        acc += row["n"]
     boff = spark.sparkContext.broadcast(offsets)
+    _miss = ()  # never equals a row tuple (rows have >= 1 column)
 
     def number(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        start = boff.value.get(TaskContext.get().partitionId(), 0)
-        seen = 0
+        nxt = boff.value.get(TaskContext.get().partitionId(), 0)
+        prev = _miss
         for pdf in batches:
-            idx = pd.RangeIndex(start + seen, start + seen + len(pdf))
-            seen += len(pdf)
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "doc_index": idx.to_numpy()}
-            )
+            keep = []
+            for i, tup in enumerate(zip(*[pdf[c] for c in cols])):
+                if tup != prev:
+                    keep.append(i)
+                    prev = tup
+            kept = pdf["doc_id"].iloc[keep].reset_index(drop=True)
+            idx = pd.RangeIndex(nxt, nxt + len(kept))
+            nxt += len(kept)
+            yield pd.DataFrame({"doc_id": kept, "doc_index": idx.to_numpy()})
 
     # the numbering is LAZY over the checkpointed ids: partition ids,
     # row order and counts are pinned by the checkpoint above, so every

@@ -45,12 +45,13 @@ POSTINGS_SCHEMA = (
 _TAG_RE = re.compile(r"<[^>]*>")
 
 # tokenize-stage task granularity for small inputs: bytes of (compressed)
-# source text per task when fanning a narrow scan out for the CPU-heavy
-# tokenizer. ~256 KiB of parquet ~ a couple thousand docs ~ O(1 s) of
-# Python tokenization — big enough to amortize task scheduling, small
-# enough to use the cores. Only consulted when the input has fewer
-# partitions than cores (see build_postings).
-TOKENIZE_SPLIT_BYTES = 256 * 1024
+# source text per task when sizing the python stage's partition count.
+# ~64 KiB of parquet ~ hundreds of docs ~ tens of ms of tokenization per
+# task — enough to amortize the ~15-20 ms fixed cost of a python task
+# without starving the cores. Measured (interleaved best/median of 6 on
+# the bench index build): 64 KiB beat 256 KiB by ~20%. Only consulted
+# when the input is smaller than cores*split (see build_postings).
+TOKENIZE_SPLIT_BYTES = 64 * 1024
 
 def _url_ok():
     # Indexer.java:31 — url filter: not null, no "..", length <= 2048.
@@ -104,12 +105,23 @@ def build_postings(docs: DataFrame) -> DataFrame:
     """
     if not docs.isStreaming:
         sc = docs.sparkSession.sparkContext
+        par = sc.defaultParallelism
         cur = docs.rdd.getNumPartitions()
-        if cur < sc.defaultParallelism:
-            est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-            want = max(1, min(sc.defaultParallelism, -(-est // TOKENIZE_SPLIT_BYTES)))
-            if want > cur:
-                docs = docs.repartition(want)
+        est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        want = max(1, min(par, -(-est // TOKENIZE_SPLIT_BYTES)))
+        if cur < want:
+            # under-split (one file / one cached partition): fan out
+            docs = docs.repartition(want)
+        elif cur > par and want < par:
+            # over-split SMALL input (want < par proves the whole input
+            # is under par*TOKENIZE_SPLIT_BYTES): each python task has a
+            # ~15-20 ms fixed cost, so 2x-cores task counts on droplet
+            # inputs double the stage (measured 1.23 s at 64 tasks vs
+            # 0.61 s at 8 for the same 5k docs). repartition, NOT
+            # coalesce — coalesce would also collapse any python stages
+            # upstream of the exchange. Cannot fire at real scale:
+            # there want == par.
+            docs = docs.repartition(want)
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -13,7 +13,7 @@ matter at scale, not wall-clock (which drifts with host epoch):
   * the hot path stays inside WholeStageCodegen (no row-at-a-time
     Python in TPC-H / BM25 scoring plans).
 
-Writes BENCH/plan_audit_round5.txt (full formatted plans) and prints
+Writes BENCH/plan_audit_round6.txt (full formatted plans) and prints
 one PASS/FAIL line per assertion. Exit code 1 on any FAIL.
 
 Usage: python scripts/plan_audit.py [sf_dir=/root/testdata/sf0.01]
@@ -299,7 +299,7 @@ def main():
         ("no python udf", not_has("BatchEvalPython")),
     ])
 
-    out_path = os.path.join(REPO, "BENCH", "plan_audit_round5.txt")
+    out_path = os.path.join(REPO, "BENCH", "plan_audit_round6.txt")
     failed = 0
     with open(out_path, "w") as f:
         for name, plan, results in audits:

@@ -144,3 +144,39 @@ def test_scoring_entries_fallback_matches_columnar(spark):
     }
     assert new == old and len(new) > 0
     blocks.unpersist()
+
+
+def test_assign_doc_indexes_url_order_with_duplicates(spark):
+    """order_col="url" (the save_blocked layout): numbering follows url
+    order with doc_id tiebreak, duplicates (including cross-batch
+    adjacent ones) collapse to a single dense index — pins the
+    partition-local dedup that replaced the global distinct."""
+    rows = [(f"d{i:04d}", f"u{(997 * i) % 500:04d}") for i in range(500)]
+    docs = spark.createDataFrame(
+        rows * 3, "doc_id string, url string"  # every row duplicated 3x
+    )
+    got = sorted(
+        (r["doc_id"], r["doc_index"])
+        for r in assign_doc_indexes(docs, order_col="url").collect()
+    )
+    want_order = [d for d, _u in sorted(rows, key=lambda t: (t[1], t[0]))]
+    assert got == sorted((d, i) for i, d in enumerate(want_order))
+
+
+def test_build_postings_sizes_python_stage_from_input(spark):
+    """The tokenize stage's partition count is derived from estimated
+    input bytes: a droplet input fanned out far beyond the core count
+    is shrunk back below it (and never above defaultParallelism), while
+    the emitted rows are unchanged."""
+    spark.createDataFrame(
+        [(f"d{i}", f"u{i}", "alpha beta gamma " * 5) for i in range(200)],
+        "doc_id string, url string, text string",
+    ).coalesce(1).write.mode("overwrite").parquet("/tmp/test_bp_sizing")
+    docs = spark.read.parquet("/tmp/test_bp_sizing")
+    par = spark.sparkContext.defaultParallelism
+    wide = build_postings(docs.repartition(4 * par))
+    assert wide.rdd.getNumPartitions() <= par
+    narrow = build_postings(docs)
+    assert sorted(map(tuple, narrow.collect())) == sorted(
+        map(tuple, wide.collect())
+    )
