@@ -107,21 +107,27 @@ def build_postings(docs: DataFrame) -> DataFrame:
         sc = docs.sparkSession.sparkContext
         par = sc.defaultParallelism
         cur = docs.rdd.getNumPartitions()
-        est = int(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        want = max(1, min(par, -(-est // TOKENIZE_SPLIT_BYTES)))
-        if cur < want:
-            # under-split (one file / one cached partition): fan out
-            docs = docs.repartition(want)
-        elif cur > par and want < par:
-            # over-split SMALL input (want < par proves the whole input
-            # is under par*TOKENIZE_SPLIT_BYTES): each python task has a
-            # ~15-20 ms fixed cost, so 2x-cores task counts on droplet
-            # inputs double the stage (measured 1.23 s at 64 tasks vs
-            # 0.61 s at 8 for the same 5k docs). repartition, NOT
-            # coalesce — coalesce would also collapse any python stages
-            # upstream of the exchange. Cannot fire at real scale:
-            # there want == par.
-            docs = docs.repartition(want)
+        # cur == par needs no adjustment either way — skip the stats
+        # probe (each plan analysis costs tens of ms on deep pipelines
+        # like the WARC read->extract chain, real money on a timed path)
+        if cur != par:
+            est = int(
+                docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            want = max(1, min(par, -(-est // TOKENIZE_SPLIT_BYTES)))
+            if cur < want:
+                # under-split (one file / one cached partition): fan out
+                docs = docs.repartition(want)
+            elif cur > par and want < par:
+                # over-split SMALL input (want < par proves the whole
+                # input is under par*TOKENIZE_SPLIT_BYTES): each python
+                # task has a ~15-20 ms fixed cost, so 2x-cores task
+                # counts on droplet inputs double the stage (measured
+                # 1.23 s at 64 tasks vs 0.61 s at 8 for the same 5k
+                # docs). repartition, NOT coalesce — coalesce would
+                # also collapse any python stages upstream of the
+                # exchange. Cannot fire at real scale: there want == par.
+                docs = docs.repartition(want)
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
