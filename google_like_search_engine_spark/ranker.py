@@ -148,15 +148,46 @@ def score_bm25(
     # pushes to the scan / cache batch stats and costs no per-query
     # createDataFrame driver round-trip
     has_dl = "dl" in postings.columns
-    matched = postings.where(F.col("term").isin(words)).select(
-        "term", "doc_id", "url", "tf", *(["dl"] if has_dl else [])
-    )
-    if term_df is not None:
-        dfc = term_df.where(F.col("term").isin(words)).select("term", "df")
-    else:
-        dfc = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     n = float(total_documents)
-    scored = matched.join(F.broadcast(dfc), "term")
+    if term_df is not None:
+        # dictionary path (serving): resolve the (tiny, <= |words|-row)
+        # df lookup driver-side and inline the idf values as a literal
+        # map, like search_bm25_served does — the per-query broadcast
+        # exchange + hash join disappear from the plan, which both
+        # shrinks per-query planning time and removes the broadcast
+        # machinery from the latency path. Identical arithmetic: the
+        # idf expression below mirrors the JVM expression's operation
+        # order exactly (the served==flat score-identity tests pin
+        # math.log against the JVM log on this data).
+        import math
+
+        dfmap = {
+            r["term"]: int(r["df"])
+            for r in term_df.where(F.col("term").isin(words)).collect()
+        }
+        hit = [w for w in words if w in dfmap]
+        if not hit:
+            return spark.createDataFrame([], "url string, score double")
+        idf = {
+            w: math.log((n - dfmap[w] + 0.5) / (dfmap[w] + 0.5) + 1.0)
+            for w in hit
+        }
+        matched = postings.where(F.col("term").isin(hit)).select(
+            "term", "url", "tf", *(["dl"] if has_dl else ["doc_id"])
+        )
+        idf_col = F.create_map(
+            *[x for w in hit for x in (F.lit(w), F.lit(idf[w]))]
+        )[F.col("term")]
+    else:
+        matched = postings.where(F.col("term").isin(words)).select(
+            "term", "doc_id", "url", "tf", *(["dl"] if has_dl else [])
+        )
+        dfc = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        matched = matched.join(F.broadcast(dfc), "term")
+        idf_col = F.log(
+            (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        )
+    scored = matched
     if has_dl:
         # dl is denormalized into the postings (indexer.build_postings):
         # scoring is join-free up to the final per-url aggregation
@@ -165,10 +196,9 @@ def score_bm25(
         scored = scored.join(doc_stats.select("doc_id", "n_term_entries"), "doc_id")
         dl_col = F.col("n_term_entries")
     scored = scored.select(
-        "doc_id",
         "url",
         (
-            F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            idf_col
             * (F.col("tf") * (k1 + 1))
             / (F.col("tf") + k1 * (1 - b + b * dl_col / F.lit(avgdl)))
         ).alias("partial"),
