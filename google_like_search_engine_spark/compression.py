@@ -296,7 +296,12 @@ def block_postings(
     # AQE-coalescible, and the 64 MB advisory target collapses the
     # encode stage to a handful of Python workers regardless of core
     # count — the encoder is CPU-bound (varint loops), not bytes-bound,
-    # so parallelism must track cores, not shuffle bytes.
+    # so parallelism must track cores, not shuffle bytes. (A
+    # size-derived count like build_postings' was measured and
+    # reverted: the typical input here is a join of two python-stage
+    # outputs, whose size ESTIMATE explodes multiplicatively — 79 GB
+    # estimated for a 1.6 MB index — so the derivation never fires and
+    # only adds a ~100 ms stats analysis per build.)
     spark = postings_idx.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     return (
