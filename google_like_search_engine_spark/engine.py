@@ -707,7 +707,32 @@ class SearchEngine:
                 if w in ts:
                     df_global[w] = df_global.get(w, 0) + ts[w][0]
 
-        def scatter(meta):
+        # urls owned by later shards mask earlier shards' (stale) rows.
+        # Masking happens AFTER each shard's top-k truncation, so a
+        # shard whose top-k slots are partly occupied by superseded
+        # urls must OVER-FETCH by the number of its docs that can be
+        # masked (|masked ∩ shard's own url set|) — otherwise live docs
+        # ranked k+1..k+m in that shard would never reach the merge and
+        # the federated result could miss documents the merged single
+        # index returns. At most `extra` rows of a k+extra result are
+        # masked, so >= k unmasked rows survive whenever the shard has
+        # that many matches — exact. Shards beyond URL_DICT_CAP have no
+        # driver-side url set; there precedence already degrades to
+        # keep-latest-on-collision (docstring) and k is unchanged.
+        owned = [self._blocked_url_dict(m[0]) for m in shard_meta]
+        masked = [
+            set().union(
+                *(set(d.values()) for d in owned[i + 1:] if d is not None)
+            )
+            for i in range(len(shard_meta))
+        ]
+        extra = [
+            len(masked[i] & set(owned[i].values())) if owned[i] is not None else 0
+            for i in range(len(shard_meta))
+        ]
+
+        def scatter(args):
+            si, meta = args
             p, _total, stats, ts = meta
             blocks, dsi, _t2, _s2, _ts2 = self._pruned_blocked_scan(
                 p, sorted(set(words + req + exc)), compute_fallback=True
@@ -721,25 +746,17 @@ class SearchEngine:
                 return []
             part = blocked_maxscore_topk(
                 self.spark, query, blocks.drop("term_bucket"), dsi,
-                n_global, k=k, doc_stats_agg=(avgdl_global, stats[1]),
+                n_global, k=k + extra[si], doc_stats_agg=(avgdl_global, stats[1]),
                 term_stats=gts, url_lookup=self._blocked_url_dict(p),
                 required=req, excluded=exc,
             )
             return [(r["url"], float(r["score"])) for r in part.collect()]
 
-        # urls owned by later shards mask earlier shards' (stale) rows
-        owned = [self._blocked_url_dict(m[0]) for m in shard_meta]
-        masked = [
-            set().union(
-                *(set(d.values()) for d in owned[i + 1:] if d is not None)
-            )
-            for i in range(len(shard_meta))
-        ]
         per_url: dict = {}
         with ThreadPoolExecutor(max_workers=min(8, len(shard_meta))) as ex:
             # ex.map yields in shard order: a later shard's row for the
             # same url overwrites an earlier collision
-            for si, rows in enumerate(ex.map(scatter, shard_meta)):
+            for si, rows in enumerate(ex.map(scatter, enumerate(shard_meta))):
                 for url, score in rows:
                     if url not in masked[si]:
                         per_url[url] = score
@@ -1344,24 +1361,26 @@ class SearchEngine:
         pos = [t for t in positive_terms(ast) if not t.endswith("*")]
         if not pos:  # nothing rankable: same fallback as the flat path
             return self.search_boolean_sharded(index_paths, query, k)
+        # mirror search_bm25_sharded's sidecar validation: a missing
+        # meta/stats sidecar raises the same clean ValueError (not a
+        # TypeError on None), and an all-empty deployment returns the
+        # empty relation instead of dividing by zero
         df_global: dict = {}
+        metas = []
         for p in index_paths:
-            _b, _d, _t, _s, ts = self._blocked_handles(p)
-            if ts is None:
+            _b, _d, total, stats, ts = self._blocked_handles(p)
+            if total is None or stats is None or ts is None:
                 raise ValueError(
-                    f"ranked sharded boolean needs the dictionary sidecar: {p}"
+                    f"ranked sharded boolean needs meta + term_stats sidecars: {p}"
                 )
+            metas.append((total, stats))
             for w in pos:
                 if w in ts:
                     df_global[w] = df_global.get(w, 0) + ts[w][0]
-        n_global = sum(self._blocked_handles(p)[2] for p in index_paths)
-        avgdl_global = (
-            sum(
-                self._blocked_handles(p)[2] * self._blocked_handles(p)[3][0]
-                for p in index_paths
-            )
-            / n_global
-        )
+        n_global = sum(t for t, _s in metas)
+        if n_global == 0:
+            return self.spark.createDataFrame([], "url string, score double")
+        avgdl_global = sum(t * s[0] for t, s in metas) / n_global
 
         def scatter_ranked(p):
             part = self._boolean_blocked(

@@ -28,8 +28,14 @@ Run: ``python scripts/serve.py --index <dir> --port 8080``.
 from __future__ import annotations
 
 import json
+import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
+
+# /percolate analyzer tokenization: lowercase letter runs and digit
+# runs (the cleaning chain's punct-strip + digit-boundary split, in
+# one regex over an already-lowercased string)
+_PERC_TOKEN_RE = re.compile(r"[a-z]+|[0-9]+")
 
 ENTRY_PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>spark search</title>
@@ -570,7 +576,12 @@ def make_server(
                     return
                 from .functions.library import eval_boolean
 
-                tokens = {w.lower() for w in text.split() if w}
+                # analyzer tokenization, not bare split: the indexed
+                # boolean/reverse_search paths see punctuation-stripped
+                # lowercase tokens with digit boundaries split, so the
+                # arriving document must be tokenized the same way or
+                # 'spark,' silently fails to match a stored 'spark'
+                tokens = set(_PERC_TOKEN_RE.findall(text.lower()))
                 matches = [
                     qid
                     for qid, ast in _percolator_asts.items()

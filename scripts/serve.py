@@ -71,9 +71,14 @@ def main():
     eng = SearchEngine(spark)
     shard_paths = [p for p in args.shards.split(",") if p]
     if shard_paths:
+        # --embeddings / --percolate apply to sharded deployments too
+        # (search_hybrid_rrf federates its lexical side over
+        # shard_paths; percolation is index-independent) — dropping
+        # them here silently lost /hybrid and /percolate
         srv = make_server(
             eng, args.host, args.port, cache_size=args.cache,
-            shard_paths=shard_paths,
+            shard_paths=shard_paths, embeddings_path=args.embeddings,
+            percolator=percolator,
         )
         print(f"sharded serving over {len(shard_paths)} shards on "
               f"http://{args.host}:{args.port}  (/search?query=)")

@@ -793,3 +793,69 @@ def test_warm_blocked_query_is_one_spark_job(spark, tmp_path):
             sc.setJobGroup("probe_done", "clear")
     finally:
         eng.unpersist()
+
+
+def test_sharded_mask_overfetch_keeps_live_docs(spark, tmp_path):
+    """Overlapping base+delta: when a base shard's top-k slots are
+    occupied by urls a later shard supersedes, the shard must
+    over-fetch so live docs ranked below them still reach the driver
+    merge — pinned row-identical to the merged single index."""
+    from pyspark.sql import functions as F
+
+    from google_like_search_engine_spark.engine import SearchEngine
+    from google_like_search_engine_spark.indexer import build_postings
+
+    def build(subset, path):
+        docs = spark.createDataFrame(
+            subset, "doc_id string, url string, text string"
+        )
+        e = SearchEngine(spark)
+        e.postings = build_postings(docs)
+        e.doc_stats = e.postings.groupBy("doc_id", "url").agg(
+            F.sum("tf").alias("n_term_entries")
+        )
+        e.term_df = e.postings.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        e.total_documents = len(subset)
+        e._avgdl = float(
+            e.doc_stats.agg(F.avg("n_term_entries")).collect()[0][0]
+        )
+        e.save_blocked(path)
+        return e
+
+    # base: d0/d1 score highest on "hot" (max tf, short docs); d2..d5
+    # are the live lower-ranked matches the old truncate-then-mask
+    # federation lost
+    base_rows = [
+        ("0", "u00", "hot hot hot hot"),
+        ("1", "u01", "hot hot hot hot"),
+    ] + [
+        (str(i), f"u{i:02d}", "hot filler filler filler") for i in range(2, 6)
+    ]
+    # delta rewrites u00/u01 with text that does NOT match the query
+    delta_rows = [("0", "u00", "fresh other"), ("1", "u01", "fresh other")]
+    base_path = str(tmp_path / "base")
+    delta_path = str(tmp_path / "delta")
+    full_path = str(tmp_path / "full")
+    build(base_rows, base_path)
+    build(delta_rows, delta_path)
+    # the merged live state: delta's versions of u00/u01 + base's rest
+    eng = build(delta_rows + base_rows[2:], full_path)
+
+    # url identity, not score identity: overlapping shards' global
+    # stats count superseded copies until compaction (the documented
+    # segment-store drift), so scores differ from the live single
+    # index while the returned DOCUMENTS must not
+    for k in (1, 2, 3):
+        single = [
+            r["url"]
+            for r in eng.search_bm25_blocked(full_path, "hot", k=k).collect()
+        ]
+        sharded = [
+            r["url"]
+            for r in eng.search_bm25_sharded(
+                [base_path, delta_path], "hot", k=k
+            ).collect()
+        ]
+        assert sharded == single and len(single) == k, k

@@ -544,3 +544,23 @@ def test_percolate_route(engine):
         assert code2 == 400
     finally:
         srv.shutdown()
+
+
+def test_percolate_analyzer_tokenization(engine):
+    """Punctuation-adjacent occurrences must match stored queries: the
+    arriving document is tokenized like the indexed boolean paths
+    (lowercased letter/digit runs), not bare-whitespace split."""
+    queries = {"q_punct": "spark AND engine", "q_num": "42"}
+    srv = make_server(engine, "127.0.0.1", 0, percolator=queries)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        from urllib.parse import urlencode
+
+        q = urlencode({"text": "Spark, (engine!) v42beta"})
+        code, body = _get(f"{base}/percolate?{q}")
+        assert code == 200
+        assert sorted(body["matches"]) == ["q_num", "q_punct"]
+    finally:
+        srv.shutdown()
