@@ -82,17 +82,20 @@ TOKEN_STATS_SQL = (
 
 
 def term_stats(spark, sf_dir):
-    """Per-term document frequency + idf over the corpus."""
+    """Per-term document frequency + idf over the corpus. N rides the
+    lazy plan as a broadcast 1-row relation (no eager count() job per
+    call); identical double arithmetic."""
     docs = load(spark, sf_dir, "documents")
-    n = docs.count()
+    nrel = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return (
         _tokens(docs)
         .groupBy("w")
         .agg(F.countDistinct("doc_id").alias("df"))
+        .join(F.broadcast(nrel))
         .select(
             "w",
             "df",
-            F.round(F.log(F.lit(float(n)) / F.col("df")), 4).alias("idf"),
+            F.round(F.log(F.col("n") / F.col("df")), 4).alias("idf"),
         )
     )
 
@@ -994,11 +997,14 @@ def bm25_filtered_search(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
     relational algebra so the whole filter chain stays JVM-side and the
     semi/anti joins broadcast their tiny term-filtered build sides."""
     docs = load(spark, sf_dir, "documents")
-    n = float(docs.count())
+    # N and avgdl ride the lazy plan as broadcast 1-row relations (no
+    # eager count/collect jobs per call; same pattern as bm25_search —
+    # exact integer sums, identical double arithmetic)
+    nrel = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
     toks = _tokens(docs)
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+    stats = dl.agg(F.avg("dl").alias("avgdl"))
     terms = spark.createDataFrame([(t,) for t in QUERY_TERMS], "w string")
     dfc = (
         tf.join(F.broadcast(terms), "w")
@@ -1013,13 +1019,15 @@ def bm25_filtered_search(spark, sf_dir, k1: float = 1.2, b: float = 0.75):
         .join(dl, "doc_id")
         .join(required, "doc_id", "left_semi")
         .join(excluded, "doc_id", "left_anti")
+        .join(F.broadcast(nrel))
+        .join(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.round(
                 F.sum(
-                    F.log((F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
                     * (F.col("tf") * (k1 + 1))
-                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl)))
+                    / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
                 ),
                 4,
             ).alias("score")
