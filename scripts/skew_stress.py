@@ -26,7 +26,7 @@ Pass criteria (asserted into the JSON):
   * zipf build wall within 2x of the uniform wall at equal rows.
 
 Usage: python scripts/skew_stress.py [n_low=8] [n_docs=50000]
-Writes BENCH/skew_stress_round5.json (one JSON document).
+Writes BENCH/skew_stress_round6.json (one JSON document).
 """
 
 from __future__ import annotations
@@ -246,7 +246,7 @@ def main():
             ),
         },
     }
-    out = os.path.join(REPO, "BENCH", "skew_stress_round5.json")
+    out = os.path.join(REPO, "BENCH", "skew_stress_round6.json")
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     print(json.dumps(doc["claims"], indent=1))
